@@ -1,0 +1,350 @@
+"""Solver state, per-level constants, and jitted compute kernels.
+
+Architecture (TPU-first, unlike the reference's monolithic MATLAB loops):
+
+- All per-iteration math is jitted and runs on device: ``run_segment`` scans
+  the plain iteration ``k`` times in one XLA computation, ``kkt`` evaluates
+  the full residual battery, and small state-transform kernels apply the
+  sigma/rescale updates.
+- All *decision* logic (KKT cadence, sigma update tables, rescale state
+  machine, termination) lives in the host driver
+  (:mod:`dotsocp_tpu.algorithms.driver`), mirroring the reference's
+  scheduling exactly (``solver_socp_inPALM.m:361-379`` cadence; KKT checks
+  happen only at cadence points, so host-side checks are equivalent).
+- Scalars that change during a level (sigma, cScale, dScale, norm_c, norm_d,
+  the scaled c) are traced state, so sigma updates never trigger recompiles.
+
+The variables alpha, beta, c are stored pre-divided by sigma, exactly like
+the reference (``solver_socp_inPALM.m:102-104``): a sigma change rescales
+them instead of entering the step formulas.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import Geometry
+from ..ops.staggered import Staggered
+from ..ops import staggered as stg
+from ..ops.grad import grad, grad_T
+from ..ops.cone import bfd, bfd_T, proj_soc, oper_q_diag
+from ..ops.poisson import DctPoisson, make_dct_poisson
+from ..utils.norms import norm_l2
+
+
+class SolverState(NamedTuple):
+    """Traced per-iteration state (a single donated pytree on device)."""
+
+    phi: jax.Array          # (nt, *space)
+    q: Staggered
+    z: jax.Array            # (C, nt-1, *space)
+    alpha: Staggered        # stored as alpha / sigma
+    beta: jax.Array         # stored as beta / sigma
+    z2: jax.Array           # cached BFd(q) with current scales
+    c: jax.Array            # scaled c / sigma
+    sigma: jax.Array        # scalar
+    cScale: jax.Array       # scalar (grows with rescales)
+    dScale: jax.Array       # scalar
+    norm_c: jax.Array       # scalar
+    norm_d: jax.Array       # scalar
+    sigmaScale: jax.Array   # scalar, product of sigma rescale factors
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelConfig:
+    """Static (compile-time) configuration of one level's kernels."""
+
+    geom: Geometry
+    D: float
+    E: float
+    tau: float = 1.9
+    weighted: bool = False
+    check_prim_dual_feas: bool = True
+    dtype: object = jnp.float32
+
+
+class Kernels:
+    """Jitted kernels for one level. ``weight`` is a Staggered field of ones
+    when the problem is unweighted — the formulas then reduce exactly to the
+    reference's dot1d/dot2d path (w == 1)."""
+
+    def __init__(self, cfg: LevelConfig, weight: Optional[Staggered] = None):
+        self.cfg = cfg
+        geom = cfg.geom
+        dtype = cfg.dtype
+        self.geom = geom
+        self.poisson = make_dct_poisson(geom, D=cfg.D, dtype=dtype)
+        if weight is None:
+            weight = stg.ones(geom, dtype)
+        self.weight = weight.astype(dtype)
+        diag = oper_q_diag(geom, cfg.D, cfg.E, weight if cfg.weighted else None,
+                           dtype=dtype)
+        self.diag_q_inv = jax.tree.map(lambda x: 1.0 / x, diag)
+        self.scale_bf = cfg.E / cfg.D
+        self._build()
+
+    # -- core iteration --------------------------------------------------
+    def _step(self, s: SolverState) -> SolverState:
+        """One inPALM/PALM-family iteration (``solver_socp_inPALM.m:192-216``;
+        weighted variant ``solver_wsocp_inPALM.m:198-222``)."""
+        cfg = self.cfg
+        geom = self.geom
+        w = self.weight
+        # phi-step: D^2 A0^T A0 phi = D A0^T (w.q - alpha) + c   (DCT solve)
+        rhs = cfg.D * grad_T(geom, w * s.q - s.alpha) + s.c
+        phi = self.poisson.solve(rhs)
+        # z-step: cone projection of the cached BFd(q) minus beta
+        z = proj_soc(s.z2 - s.beta)
+        # q-step: diagonal solve
+        tmp_q = cfg.D * grad(geom, phi)
+        q2 = bfd_T(geom, z + s.beta, self.scale_bf)
+        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        # multiplier step
+        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
+        resi_alpha = tmp_q - w * q
+        resi_beta = z - z2
+        alpha = s.alpha + cfg.tau * resi_alpha
+        beta = s.beta + cfg.tau * resi_beta
+        return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta, z2=z2)
+
+    def _build(self):
+        step = self._step
+
+        @partial(jax.jit, donate_argnums=0)
+        def run_segment(s: SolverState, k) -> SolverState:
+            return jax.lax.fori_loop(0, k, lambda _, st: step(st), s)
+
+        @jax.jit
+        def run_one(s: SolverState) -> SolverState:
+            return step(s)
+
+        self.run_segment = run_segment
+        self.run_one = run_one
+        self.kkt = jax.jit(self._kkt)
+        self.norms = jax.jit(self._norms)
+        self.sigma_mult = jax.jit(self._sigma_mult)
+        self.rescale = jax.jit(self._rescale)
+
+    # -- diagnostics -----------------------------------------------------
+    def _norms(self, s: SolverState):
+        """Block norms used by the dynamic rescaling checks
+        (``solver_socp_inPALM.m:139-148``)."""
+        h = self.geom.h
+        return {
+            "normPhi": norm_l2(s.phi, h),
+            "normQ": norm_l2(s.q, h),
+            "normZ": norm_l2(s.z, h),
+            "normAlpha": s.sigma * norm_l2(s.alpha, h),
+            "normBeta": s.sigma * norm_l2(s.beta, h),
+        }
+
+    def _kkt(self, s: SolverState):
+        """Full KKT battery (``solver_socp_inPALM.m:223-267``), one fused
+        device computation returning a dict of scalars."""
+        cfg = self.cfg
+        geom = self.geom
+        h = geom.h
+        w = self.weight
+        kkt_const = 1.0
+
+        tmp_q = cfg.D * grad(geom, s.phi)
+        resi_alpha = tmp_q - w * s.q
+        resi_beta = s.z - s.z2
+        q2b = bfd_T(geom, s.beta, self.scale_bf)
+        d_alpha = w * s.alpha
+
+        norm_q = norm_l2(s.q, h)
+        norm_z = norm_l2(s.z, h)
+        norm_aphi = norm_l2(tmp_q, h)
+        norm_alpha = s.sigma * norm_l2(s.alpha, h)
+        norm_beta = s.sigma * norm_l2(s.beta, h)
+        norm_fbbeta = s.sigma * norm_l2(q2b, h)
+
+        prim_fea1 = norm_l2(resi_alpha, h)
+        prim_fea2 = norm_l2(resi_beta, h)
+        dual_fea1 = s.sigma * norm_l2(cfg.D * grad_T(geom, s.alpha) - s.c, h)
+        dual_fea2 = s.sigma * norm_l2(q2b + d_alpha, h)
+        complem = norm_l2(s.z - proj_soc(s.z - s.sigma * s.beta), h)
+
+        dc = self._dot_complement(s, d_alpha)
+
+        E_over_dscale = cfg.E / s.dScale
+        if cfg.weighted:
+            # wdot2d denominator for residual 2 (``solver_wsocp_inPALM.m``)
+            denom2 = kkt_const * E_over_dscale + norm_q + norm_z
+        else:
+            denom2 = kkt_const * E_over_dscale + s.norm_d
+        kkt_org = jnp.stack(
+            [
+                prim_fea1 / (kkt_const * cfg.D / s.dScale + norm_aphi + norm_q),
+                prim_fea2 / denom2,
+                dual_fea1 / (kkt_const / s.cScale + s.norm_c),
+                complem / (kkt_const * E_over_dscale + norm_z + norm_beta),
+                dual_fea2
+                / (kkt_const / s.cScale / cfg.D + norm_fbbeta + norm_alpha),
+                dc["dotcomplem"] / (kkt_const + dc["normRho"] + dc["norm_rhoFq"]),
+                dc["mRhoB"] / (kkt_const + dc["normM"] + dc["normRhoB"]),
+            ]
+        )
+        kkt_scp = jnp.stack(
+            [
+                prim_fea1 / (kkt_const + norm_aphi + norm_q),
+                prim_fea2 / (kkt_const + s.norm_d),
+                dual_fea1 / (kkt_const + s.norm_c),
+                complem / (kkt_const + norm_z + norm_beta),
+                dual_fea2 / (kkt_const + norm_fbbeta + norm_alpha),
+            ]
+        )
+
+        scale = s.sigma * s.cScale * s.dScale * h
+        pri_val = scale * s.q.dot(s.alpha)
+        dual_val = scale * jnp.vdot(s.c, s.phi)
+        pd_gap = jnp.abs(pri_val - dual_val) / (1 + jnp.abs(pri_val) + jnp.abs(dual_val))
+
+        out = {
+            "kkt_org": kkt_org,
+            "kkt": kkt_scp,
+            "priVal": pri_val,
+            "dualVal": dual_val,
+            "pdGap": pd_gap,
+            "normPhi": norm_l2(s.phi, h),
+            "normQ": norm_q,
+            "normZ": norm_z,
+            "normAlpha": norm_alpha,
+            "normBeta": norm_beta,
+        }
+        return out
+
+    def _dot_complement(self, s: SolverState, d_alpha: Staggered):
+        """Original-DOT complementarity residuals
+        (``socp/dot2d/utils/compute_kkt_dot_complement.m``; weighted variant
+        substitutes D_w alpha)."""
+        cfg = self.cfg
+        geom = self.geom
+        h = geom.h
+        d = geom.ndim_space
+
+        rho_t = (s.sigma * s.cScale * cfg.D) * d_alpha.q0
+        b_cols = s.z2[1 : 1 + 4 * d]
+        rho_fq = (
+            rho_t
+            + (s.dScale / cfg.D) * s.q.q0
+            + jnp.sum(jnp.square((s.dScale / cfg.E) * b_cols), axis=0) / 4.0
+        )
+        rho_fq = jnp.maximum(rho_fq, 0.0)
+
+        dotcomplem = norm_l2(rho_t - rho_fq, h)
+        norm_rho = norm_l2(rho_t, h)
+        norm_rho_fq = norm_l2(rho_fq, h)
+
+        # interpolate rho to time nodes (zero-padded ends), then to faces
+        zslab = jnp.zeros((1,) + geom.space, rho_t.dtype)
+        padded = jnp.concatenate([zslab, rho_t, zslab], axis=0)  # (nt+1, *space)
+        rho_nodes = 0.5 * (padded[:-1] + padded[1:])  # (nt, *space)
+
+        m_sq = jnp.asarray(0.0, rho_t.dtype)
+        rb_sq = jnp.asarray(0.0, rho_t.dtype)
+        diff_sq = jnp.asarray(0.0, rho_t.dtype)
+        for a in range(d):
+            ax = 1 + a
+            n_a = geom.space[a]
+            lo = jax.lax.slice_in_dim(rho_nodes, 0, n_a - 1, axis=ax)
+            hi = jax.lax.slice_in_dim(rho_nodes, 1, n_a, axis=ax)
+            rho_face = 0.5 * (lo + hi)
+            rho_b = (s.dScale / cfg.D) * rho_face * s.q.bs[a]
+            m_a = (s.sigma * s.cScale * cfg.D) * d_alpha.bs[a]
+            m_sq = m_sq + h * jnp.sum(jnp.square(m_a))
+            rb_sq = rb_sq + h * jnp.sum(jnp.square(rho_b))
+            diff_sq = diff_sq + h * jnp.sum(jnp.square(m_a - rho_b))
+        return {
+            "dotcomplem": dotcomplem,
+            "normRho": norm_rho,
+            "norm_rhoFq": norm_rho_fq,
+            "mRhoB": jnp.sqrt(diff_sq),
+            "normM": jnp.sqrt(m_sq),
+            "normRhoB": jnp.sqrt(rb_sq),
+        }
+
+    # -- host-driven state transforms ------------------------------------
+    def _sigma_mult(self, s: SolverState, factor) -> SolverState:
+        """Apply sigma <- sigma * factor: alpha, beta, c are stored
+        pre-divided by sigma (``solver_socp_inPALM.m:309-315``)."""
+        inv = 1.0 / factor
+        return s._replace(
+            alpha=s.alpha * inv,
+            beta=s.beta * inv,
+            c=s.c * inv,
+            sigma=s.sigma * factor,
+        )
+
+    def _rescale(self, s: SolverState, d_scale2, c_scale2) -> SolverState:
+        """Dynamic rescaling of the whole iterate
+        (``solver_socp_inPALM.m:163-189``). phi is intentionally not scaled
+        (it is overwritten by the next phi-step), matching the reference."""
+        cfg = self.cfg
+        r = d_scale2 / (c_scale2 * c_scale2)
+        q = s.q / d_scale2
+        d_scale = s.dScale * d_scale2
+        z2 = bfd(self.geom, q, self.scale_bf, cfg.E / d_scale)
+        return s._replace(
+            sigma=s.sigma * (c_scale2 / d_scale2),
+            c=s.c * r,
+            norm_c=s.norm_c / c_scale2,
+            norm_d=s.norm_d / d_scale2,
+            alpha=s.alpha * r,
+            beta=s.beta * r,
+            q=q,
+            z=s.z / d_scale2,
+            z2=z2,
+            dScale=d_scale,
+            cScale=s.cScale * c_scale2,
+            sigmaScale=s.sigmaScale * (c_scale2 / d_scale2),
+        )
+
+    # -- lifecycle -------------------------------------------------------
+    def prep(self, var, sigma: float) -> SolverState:
+        """Build the iteration state from level variables (already through
+        InitialScaling): divide alpha/beta/c by sigma and cache z2."""
+        dtype = self.cfg.dtype
+        sig = jnp.asarray(sigma, dtype)
+        q = var["q"].astype(dtype)
+        d_scale = jnp.asarray(var["dScale"], dtype)
+        z2 = bfd(self.geom, q, self.scale_bf, self.cfg.E / d_scale)
+        return SolverState(
+            phi=var["phi"].astype(dtype),
+            q=q,
+            z=var["z"].astype(dtype),
+            alpha=var["alpha"].astype(dtype) / sig,
+            beta=var["beta"].astype(dtype) / sig,
+            z2=z2,
+            c=var["c"].astype(dtype) / sig,
+            sigma=sig,
+            cScale=jnp.asarray(var["cScale"], dtype),
+            dScale=d_scale,
+            norm_c=jnp.asarray(var["norm_c"], dtype),
+            norm_d=jnp.asarray(var["norm_d"], dtype),
+            sigmaScale=jnp.asarray(1.0, dtype),
+        )
+
+    def finalize(self, s: SolverState, var) -> dict:
+        """Write back iteration variables (``solver_socp_inPALM.m:329-357``):
+        alpha,beta remultiplied by sigma; sigma unwound by sigmaScale."""
+        var = dict(var)
+        var.update(
+            phi=s.phi,
+            q=s.q,
+            z=s.z,
+            alpha=s.alpha * s.sigma,
+            beta=s.beta * s.sigma,
+            c=s.c * s.sigma,
+            cScale=s.cScale,
+            dScale=s.dScale,
+            norm_c=s.norm_c,
+            norm_d=s.norm_d,
+        )
+        var["sigma_out"] = float(s.sigma / s.sigmaScale)
+        return var

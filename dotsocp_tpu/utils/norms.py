@@ -1,0 +1,39 @@
+"""Grid-scaled norms and integrals (``normL2.m``, ``FnormL2.m``, ``integralL2.m``)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.staggered import Staggered
+
+
+def norm_l2(x, h) -> jax.Array:
+    """sqrt(h) * ||x||_2 over all elements (``normL2.m`` / ``FnormL2.m``).
+
+    Accepts arrays or :class:`Staggered` fields (the reference's flat-vector
+    norm over [q0; bx; by] equals the root of the summed block squares).
+    """
+    if isinstance(x, Staggered):
+        return jnp.sqrt(h * x.sqnorm())
+    return jnp.sqrt(h) * jnp.linalg.norm(x.reshape(-1))
+
+
+def integral_l2(f: jax.Array, axis=None) -> jax.Array:
+    """Mean-type integral: (1/n) sum over the spatial axes (``integralL2.m``).
+
+    For a (nt, *space) density this returns the per-time-slab mass with
+    h = 1 / prod(space).
+    """
+    if axis is None:
+        axis = tuple(range(1, f.ndim))
+    n = 1
+    for a in axis if isinstance(axis, tuple) else (axis,):
+        n *= f.shape[a]
+    return f.sum(axis=axis) / n
+
+
+def sdot(x, y, h=1.0) -> jax.Array:
+    """h-scaled inner product; accepts Staggered or arrays."""
+    if isinstance(x, Staggered):
+        return h * x.dot(y)
+    return h * jnp.vdot(x, y)

@@ -1,0 +1,29 @@
+"""Test configuration: CPU backend with 8 virtual devices + float64.
+
+Multi-chip sharding is validated on a virtual CPU mesh
+(xla_force_host_platform_device_count), the standard way to test pjit
+layouts without a pod. x64 is enabled so operator identities can be checked
+to near machine precision; solver tests exercise f32 paths explicitly.
+"""
+import os
+
+# Force CPU: the session environment pins JAX_PLATFORMS to the TPU tunnel,
+# which is single-chip and slow for unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

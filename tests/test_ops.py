@@ -1,0 +1,182 @@
+"""Unit tests for the operator core: adjointness, spectral identities,
+cone-projection properties, and the q-diagonal — the test gate the reference
+never had (SURVEY.md section 4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dotsocp_tpu.ops.geometry import Geometry
+from dotsocp_tpu.ops import staggered as stg
+from dotsocp_tpu.ops.grad import grad, grad_T
+from dotsocp_tpu.ops.cone import bfd, bfd_T, proj_soc, oper_q_diag
+from dotsocp_tpu.ops.poisson import make_dct_poisson, dct_matrix
+
+GEOMS = [
+    Geometry(nt=5, space=(9,)),
+    Geometry(nt=5, space=(7, 9)),
+    Geometry(nt=4, space=(6, 5)),
+]
+
+
+def _rand_staggered(geom, rng, dtype=jnp.float64):
+    return stg.Staggered(
+        q0=jnp.asarray(rng.standard_normal(geom.q0_shape), dtype),
+        bs=tuple(
+            jnp.asarray(rng.standard_normal(geom.b_shape(a)), dtype)
+            for a in range(geom.ndim_space)
+        ),
+    )
+
+
+@pytest.mark.parametrize("geom", GEOMS)
+def test_grad_adjoint(geom, rng):
+    """<A phi, v> == <phi, A^T v>."""
+    phi = jnp.asarray(rng.standard_normal(geom.phi_shape))
+    v = _rand_staggered(geom, rng)
+    lhs = grad(geom, phi).dot(v)
+    rhs = jnp.vdot(phi, grad_T(geom, v))
+    assert np.isclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+@pytest.mark.parametrize("geom", GEOMS)
+def test_bfd_adjoint(geom, rng):
+    """<BF q, x> == <q, (BF)^T x> (the d-offset excluded: scale_d = 0)."""
+    q = _rand_staggered(geom, rng)
+    x = jnp.asarray(rng.standard_normal(geom.z_shape))
+    s = 0.73
+    lhs = jnp.vdot(bfd(geom, q, s, 0.0), x)
+    rhs = q.dot(bfd_T(geom, x, s))
+    assert np.isclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+@pytest.mark.parametrize("geom", GEOMS)
+def test_bfd_d_offset(geom):
+    """scale_d lands only in head/tail columns: per-cell ||d|| = sqrt(2)."""
+    q = stg.zeros(geom, jnp.float64)
+    z = bfd(geom, q, 1.0, 3.0)
+    assert np.allclose(np.asarray(z[0]), 3.0)
+    assert np.allclose(np.asarray(z[-1]), 3.0)
+    assert np.allclose(np.asarray(z[1:-1]), 0.0)
+
+
+@pytest.mark.parametrize("geom", GEOMS)
+def test_oper_q_equals_bfd_gram_diag(geom, rng):
+    """diag(I + (E/D)^2 F*B*BF) matches applying BF^T BF to basis vectors.
+
+    Cross-check of ``oper_q.m`` against the actual stencils: for any q,
+    elementwise, (BF^T BF q)_i == (diag - 1) q_i when q is a basis vector.
+    We verify via random diagonal probing on the exact structure: build the
+    Gram diagonal by applying bfd/bfd_T to indicator fields.
+    """
+    D, E = 1.3, 0.7
+    diag = oper_q_diag(geom, D, E, dtype=jnp.float64)
+    s = E / D
+    # probe a handful of entries per block
+    rs = np.random.default_rng(1)
+
+    def gram_diag_entry(basis):
+        z = bfd(geom, basis, s, 0.0)
+        back = bfd_T(geom, z, s)
+        return back, basis
+
+    for trial in range(3):
+        # time-staggered block
+        idx = tuple(rs.integers(0, n) for n in geom.q0_shape)
+        e = stg.zeros(geom, jnp.float64)
+        e = e._replace(q0=e.q0.at[idx].set(1.0))
+        back, _ = gram_diag_entry(e)
+        assert np.isclose(float(back.q0[idx]) + 1.0, float(diag.q0[idx]), rtol=1e-12)
+        # face blocks
+        for a in range(geom.ndim_space):
+            idx = tuple(rs.integers(0, n) for n in geom.b_shape(a))
+            e = stg.zeros(geom, jnp.float64)
+            bs = list(e.bs)
+            bs[a] = bs[a].at[idx].set(1.0)
+            e = e._replace(bs=tuple(bs))
+            back, _ = gram_diag_entry(e)
+            assert np.isclose(
+                float(back.bs[a][idx]) + 1.0, float(diag.bs[a][idx]), rtol=1e-12
+            )
+
+
+def test_proj_soc_cases():
+    v = jnp.array(
+        [
+            [2.0, 0.5, -1.0, 0.0, -3.0],   # head
+            [1.0, 1.0, 1.0, 0.0, 1.0],     # tail components
+            [0.0, 1.0, 1.0, 0.0, 1.0],
+        ]
+    )
+    out = np.asarray(proj_soc(v))
+    # col0: ||w||=1 <= 2 -> identity
+    assert np.allclose(out[:, 0], [2.0, 1.0, 0.0])
+    # col1: ||w||=sqrt2 > 0.5 -> boundary projection
+    nrm = np.sqrt(2)
+    c = 0.5 * (1 + 0.5 / nrm)
+    assert np.allclose(out[:, 1], [c * nrm, c, c])
+    # col2: ||w||=sqrt2 <= 1 = -z0 -> 0... check: z0=-1, ||w||=sqrt2 > 1 -> boundary
+    c2 = 0.5 * (1 - 1.0 / nrm)
+    assert np.allclose(out[:, 2], [c2 * nrm, c2, c2])
+    # col3: w=0, z0=0 -> 0
+    assert np.allclose(out[:, 3], 0.0)
+    # col4: ||w||=sqrt2 <= 3 = -z0 -> 0
+    assert np.allclose(out[:, 4], 0.0)
+
+
+def test_proj_soc_idempotent_and_moreau(rng):
+    v = jnp.asarray(rng.standard_normal((6, 50)))
+    p = proj_soc(v)
+    # idempotent
+    assert np.allclose(np.asarray(proj_soc(p)), np.asarray(p), atol=1e-12)
+    # in the cone
+    assert np.all(np.asarray(p[0]) >= np.linalg.norm(np.asarray(p[1:]), axis=0) - 1e-12)
+    # Moreau: v = proj_K(v) - proj_K(-v) for self-dual K
+    m = proj_soc(-v)
+    assert np.allclose(np.asarray(p - m), np.asarray(v), atol=1e-12)
+
+
+def test_dct_matrix_orthogonal():
+    C = dct_matrix(17, jnp.float64)
+    assert np.allclose(np.asarray(C @ C.T), np.eye(17), atol=1e-12)
+
+
+@pytest.mark.parametrize("geom", GEOMS)
+def test_poisson_solves_normal_equations(geom, rng):
+    """phi from the DCT solve satisfies D^2 A^T A phi = rhs up to the
+    pinned zero mode (rhs projected off constants)."""
+    D = 1.17
+    solver = make_dct_poisson(geom, D=D, dtype=jnp.float64)
+    rhs = jnp.asarray(rng.standard_normal(geom.phi_shape))
+    rhs = rhs - rhs.mean()  # compatible rhs (A^T A annihilates constants)
+    phi = solver.solve(rhs)
+    lap = grad_T(geom, grad(geom, phi)) * (D * D)
+    assert np.allclose(np.asarray(lap), np.asarray(rhs), atol=1e-9)
+
+
+@pytest.mark.parametrize("geom", GEOMS)
+def test_poisson_matches_jax_dctn(geom, rng):
+    """Matmul-DCT equals the FFT-based dctn/idctn route (reference parity:
+    mirt_dctn/mirt_idctn)."""
+    from jax.scipy import fft as jfft
+
+    D = 0.9
+    solver = make_dct_poisson(geom, D=D, dtype=jnp.float64)
+    rhs = jnp.asarray(rng.standard_normal(geom.phi_shape))
+    phi = solver.solve(rhs)
+    kern = 1.0 / solver.inv_kernel
+    ref = jfft.idctn(
+        jfft.dctn(rhs, type=2, norm="ortho") / kern, type=2, norm="ortho"
+    )
+    assert np.allclose(np.asarray(phi), np.asarray(ref), atol=1e-10)
+
+
+def test_flat_roundtrip(rng):
+    geom = Geometry(nt=4, space=(5, 6))
+    st = _rand_staggered(geom, rng)
+    flat = stg.to_flat(st)
+    assert flat.shape == (geom.n_cells + sum(np.prod(geom.b_shape(a)) for a in range(2)),)
+    back = stg.from_flat(geom, flat, dtype=jnp.float64)
+    assert np.allclose(np.asarray(back.q0), np.asarray(st.q0))
+    for a in range(2):
+        assert np.allclose(np.asarray(back.bs[a]), np.asarray(st.bs[a]))
