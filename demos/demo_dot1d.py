@@ -1,0 +1,60 @@
+"""Demo: 1D dynamic optimal transport (equivalent of ``demo_dot1d.m``).
+
+Default config matches the reference: nt=33, nx=1025, tol=1e-5, 3 levels,
+inPALM, Gaussian pair.
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--problem", default="gaussian", choices=["gaussian", "box"])
+    ap.add_argument("--nx", type=int, default=1025)
+    ap.add_argument("--nt", type=int, default=33)
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--method", default="inPALM")
+    ap.add_argument("--maxit", type=int, default=3000)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "overrides JAX_PLATFORMS, so use this flag)")
+    ap.add_argument("--f64", action="store_true", help="run in float64")
+    ap.add_argument("--plot", default=None, help="save evolution plot to path")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from dotsocp_tpu.models.examples import get_example_1d
+    from dotsocp_tpu.multilevel.solve import solve_dot
+    from dotsocp_tpu.multilevel.level import check_mass_conservation
+
+    rho0, rho1 = get_example_1d(args.problem, args.nx)
+    out, hml, h = solve_dot(
+        rho0, rho1, args.nt, args.levels,
+        {"tol": args.tol, "maxit": args.maxit}, args.method,
+    )
+    print("=" * 64)
+    print(f"Mass conservation: {'OK' if out['mass_ok'] else 'VIOLATED'}")
+    check_mass_conservation(np.asarray(out["rho"]), verbose=True)
+    print("Final KKT:", h["kkt"][-1])
+    if args.plot:
+        from dotsocp_tpu.viz.plots import show_evolution_1d
+
+        show_evolution_1d(out["rho"], "join", save=args.plot)
+        print("saved", args.plot)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,7 @@ class Kernels:
 
         self.run_segment = run_segment
         self.run_one = run_one
+        self.get_sigma = lambda s: s.sigma
         self.kkt = jax.jit(self._kkt)
         self.norms = jax.jit(self._norms)
         self.sigma_mult = jax.jit(self._sigma_mult)
@@ -216,6 +217,13 @@ class Kernels:
             "normZ": norm_z,
             "normAlpha": norm_alpha,
             "normBeta": norm_beta,
+            # stale-denominator ingredients for the sGS between-check
+            # feasibility updates (``solver_socp_sGSinPALM.m:380-390``)
+            "normAphi": norm_aphi,
+            "norm_c_state": s.norm_c,
+            "cScale": s.cScale,
+            "dScale": s.dScale,
+            "sigma": s.sigma,
         }
         return out
 
@@ -310,14 +318,20 @@ class Kernels:
         """Build the iteration state from level variables (already through
         InitialScaling): divide alpha/beta/c by sigma and cache z2."""
         dtype = self.cfg.dtype
+
+        def _copy(x):
+            # defensive copy: run_segment donates its input buffers, and the
+            # caller's arrays must stay valid for the multilevel bookkeeping
+            return jax.tree.map(lambda a: jnp.asarray(a, dtype).copy(), x)
+
         sig = jnp.asarray(sigma, dtype)
-        q = var["q"].astype(dtype)
+        q = _copy(var["q"])
         d_scale = jnp.asarray(var["dScale"], dtype)
         z2 = bfd(self.geom, q, self.scale_bf, self.cfg.E / d_scale)
         return SolverState(
-            phi=var["phi"].astype(dtype),
+            phi=_copy(var["phi"]),
             q=q,
-            z=var["z"].astype(dtype),
+            z=_copy(var["z"]),
             alpha=var["alpha"].astype(dtype) / sig,
             beta=var["beta"].astype(dtype) / sig,
             z2=z2,

@@ -1,0 +1,495 @@
+"""Algorithm variants: PALM, acc-ADMM (Halpern), sGS-inPALM, acc-sGS-ADMM.
+
+Each variant supplies its step order and which iterate blocks a dynamic
+rescale must touch (exactly the blocks the reference scales — a block is
+scaled iff it is consumed before being recomputed):
+
+- inPALM  (base :class:`~.core.Kernels`): scales q, z  (``solver_socp_inPALM.m:174-178``)
+- PALM:   scales phi, z — phi stands in for the reference's ``tmp_q = A*phi``
+          cache, which it scales directly (``solver_socp_PALM.m``); observable
+          behaviour is identical because phi itself is recomputed before any
+          other use.
+- sGS:    scales phi, q (``solver_socp_sGSinPALM.m:185-190``)
+- accADMM: scales phi, q, z and resets the Halpern anchors
+          (``solver_socp_accADMM.m:204-224``)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.grad import grad, grad_T
+from ..ops.cone import bfd, bfd_T, proj_soc
+from ..ops.sgs import make_sgs
+from ..ops.staggered import Staggered
+from ..utils.norms import norm_l2
+from .core import Kernels, LevelConfig, SolverState
+
+
+class InPALMKernels(Kernels):
+    """inPALM / ALG2 (tau = 1.9 / 1.0): the base implementation."""
+
+
+class PALMKernels(Kernels):
+    """Exact 2-block proximal ALM: an extra q-step before (phi, z)
+    (``solver_socp_PALM.m:196-218``)."""
+
+    def _step(self, s: SolverState) -> SolverState:
+        cfg = self.cfg
+        geom = self.geom
+        w = self.weight
+        # step q0: uses A*phi from the previous iteration
+        tmp_q = cfg.D * grad(geom, s.phi)
+        q2 = bfd_T(geom, s.z + s.beta, self.scale_bf)
+        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        # step phi
+        rhs = cfg.D * grad_T(geom, w * q - s.alpha) + s.c
+        phi = self.poisson.solve(rhs)
+        # step z (z2 refreshed from the q0-step's q)
+        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
+        z = proj_soc(z2 - s.beta)
+        # step q (second)
+        tmp_q = cfg.D * grad(geom, phi)
+        q2 = bfd_T(geom, z + s.beta, self.scale_bf)
+        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        # multipliers
+        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
+        resi_alpha = tmp_q - w * q
+        resi_beta = z - z2
+        return s._replace(
+            phi=phi,
+            q=q,
+            z=z,
+            alpha=s.alpha + cfg.tau * resi_alpha,
+            beta=s.beta + cfg.tau * resi_beta,
+            z2=z2,
+        )
+
+    def prep(self, var, sigma):
+        s = super().prep(var, sigma)
+        # initial z = BFd(A phi) (``solver_socp_PALM.m:136-138``)
+        tmp_q = self.cfg.D * grad(self.geom, s.phi)
+        z = bfd(self.geom, tmp_q, self.scale_bf, self.cfg.E / s.dScale)
+        return s._replace(z=z)
+
+    def _rescale(self, s, d_scale2, c_scale2):
+        cfg = self.cfg
+        r = d_scale2 / (c_scale2 * c_scale2)
+        return s._replace(
+            sigma=s.sigma * (c_scale2 / d_scale2),
+            c=s.c * r,
+            norm_c=s.norm_c / c_scale2,
+            norm_d=s.norm_d / d_scale2,
+            alpha=s.alpha * r,
+            beta=s.beta * r,
+            phi=s.phi / d_scale2,   # = the reference's tmp_q scaling
+            z=s.z / d_scale2,
+            dScale=s.dScale * d_scale2,
+            cScale=s.cScale * c_scale2,
+            sigmaScale=s.sigmaScale * (c_scale2 / d_scale2),
+        )
+
+
+class AccState(NamedTuple):
+    """acc-ADMM extended state: base iterate + Halpern anchor machinery
+    (``solver_socp_accADMM.m:154-163,369-388``)."""
+
+    s: SolverState
+    old: Tuple    # (phi, z, q, alpha, beta) after the previous averaging
+    anchor: Tuple  # Halpern anchor x^0
+    k: jax.Array   # averaging counter (int32)
+
+
+def _iterate_tuple(s: SolverState):
+    return (s.phi, s.z, s.q, s.alpha, s.beta)
+
+
+def _with_iterate(s: SolverState, t) -> SolverState:
+    return s._replace(phi=t[0], z=t[1], q=t[2], alpha=t[3], beta=t[4])
+
+
+class AccADMMKernels(Kernels):
+    """Halpern-accelerated preconditioned ADMM
+    (``solver_socp_accADMM.m:227-249,369-388``). Step order: q, multiplier
+    (tau = 1), phi, z; the KKT battery is evaluated before the anchor
+    averaging, and the averaging itself is the ``post_check`` of the driver.
+    Restart every ``restart`` iterations and on sigma change / rescale.
+    """
+
+    def __init__(self, cfg: LevelConfig, weight=None, restart: int = 100,
+                 rho: float = 2.0):
+        self.restart = restart
+        self.rho = rho
+        super().__init__(cfg, weight)
+
+    def _step(self, s: SolverState) -> SolverState:
+        cfg = self.cfg
+        geom = self.geom
+        w = self.weight
+        # step q
+        q2 = bfd_T(geom, s.z + s.beta, self.scale_bf)
+        tmp_q = cfg.D * grad(geom, s.phi)
+        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        # step alpha, beta (unit step)
+        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
+        alpha = s.alpha + tmp_q - w * q
+        beta = s.beta + s.z - z2
+        # step phi
+        rhs = cfg.D * grad_T(geom, w * q - alpha) + s.c
+        phi = self.poisson.solve(rhs)
+        # step z
+        z = proj_soc(z2 - beta)
+        return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta, z2=z2)
+
+    def _halpern(self, e: AccState) -> AccState:
+        """x <- 1/(k+2) x0 + (k+1)/(k+2) ((1-rho) x_old + rho x), k += 1,
+        restart the anchor when k reaches ``restart``."""
+        k = e.k
+        kf = k.astype(e.s.phi.dtype)
+        c1 = 1.0 / (kf + 2.0)
+        c2 = (kf + 1.0) / (kf + 2.0)
+        rho = self.rho
+        cur = _iterate_tuple(e.s)
+        new = jax.tree.map(
+            lambda x0, xo, x: c1 * x0 + c2 * ((1.0 - rho) * xo + rho * x),
+            e.anchor, e.old, cur,
+        )
+        k1 = k + 1
+        do_restart = k1 >= self.restart
+        anchor = jax.tree.map(
+            lambda a, n: jnp.where(do_restart, n, a), e.anchor, new
+        )
+        k1 = jnp.where(do_restart, 0, k1)
+        return AccState(s=_with_iterate(e.s, new), old=new, anchor=anchor, k=k1)
+
+    def _build(self):
+        step = self._step
+        halpern = self._halpern
+
+        # no donation: anchor/old deliberately alias the iterate right after
+        # prep/restart, and XLA rejects donating the same buffer twice
+        @jax.jit
+        def run_segment(e: AccState, k) -> AccState:
+            def body(_, e):
+                e = e._replace(s=step(e.s))
+                return halpern(e)
+
+            e = jax.lax.fori_loop(0, k - 1, body, e)
+            # final iteration stops before the averaging (KKT point)
+            return e._replace(s=step(e.s))
+
+        self.run_segment = run_segment
+        self.post_check = jax.jit(halpern)
+        self.kkt = jax.jit(lambda e: self._kkt(e.s))
+        self.norms = jax.jit(lambda e: self._norms(e.s))
+        self.get_sigma = lambda e: e.s.sigma
+
+        def sigma_mult(e: AccState, factor):
+            # scales alpha/beta/c (incl. the old copies) and restarts the
+            # anchor at the *scaled* current iterate (``accADMM.m:346-358``)
+            inv = 1.0 / factor
+            s = self._sigma_mult(e.s, factor)
+            old = (e.old[0], e.old[1], e.old[2], e.old[3] * inv, e.old[4] * inv)
+            cur = _iterate_tuple(s)
+            return AccState(s=s, old=old, anchor=cur, k=jnp.zeros_like(e.k))
+
+        def rescale(e: AccState, d2, c2):
+            s = self._rescale_all(e.s, d2, c2)
+            cur = _iterate_tuple(s)
+            return AccState(s=s, old=cur, anchor=cur, k=jnp.zeros_like(e.k))
+
+        self.sigma_mult = jax.jit(sigma_mult)
+        self.rescale = jax.jit(rescale)
+
+    def _rescale_all(self, s, d_scale2, c_scale2):
+        """accADMM scales phi, q, z (``solver_socp_accADMM.m:204-209``)."""
+        cfg = self.cfg
+        r = d_scale2 / (c_scale2 * c_scale2)
+        q = s.q / d_scale2
+        d_scale = s.dScale * d_scale2
+        z2 = bfd(self.geom, q, self.scale_bf, cfg.E / d_scale)
+        return s._replace(
+            sigma=s.sigma * (c_scale2 / d_scale2),
+            c=s.c * r,
+            norm_c=s.norm_c / c_scale2,
+            norm_d=s.norm_d / d_scale2,
+            alpha=s.alpha * r,
+            beta=s.beta * r,
+            phi=s.phi / d_scale2,
+            q=q,
+            z=s.z / d_scale2,
+            z2=z2,
+            dScale=d_scale,
+            cScale=s.cScale * c_scale2,
+            sigmaScale=s.sigmaScale * (c_scale2 / d_scale2),
+        )
+
+    def prep(self, var, sigma) -> AccState:
+        s = super().prep(var, sigma)
+        cur = _iterate_tuple(s)
+        return AccState(s=s, old=cur, anchor=cur, k=jnp.zeros((), jnp.int32))
+
+    def finalize(self, e: AccState, var) -> dict:
+        return super().finalize(e.s, var)
+
+
+class AccSgsADMMKernels(AccADMMKernels):
+    """acc-ADMM with the DCT solve replaced by one red-black sGS sweep
+    (``solver_socp_accsGSADMM.m:240-274``). Step order: q, multiplier,
+    phi (sGS), z; the sGS block residual is captured right after the sweep.
+    """
+
+    sgs_its = 1
+
+    def __init__(self, cfg: LevelConfig, weight=None, restart: int = 100,
+                 rho: float = 2.0):
+        self.sgs_op = make_sgs(cfg.geom, D=cfg.D, eps=0.0, dtype=cfg.dtype)
+        self.last_aux = {}
+        super().__init__(cfg, weight, restart=restart, rho=rho)
+
+    def _step_parts(self, s: SolverState):
+        cfg = self.cfg
+        geom = self.geom
+        w = self.weight
+        # step q
+        q2 = bfd_T(geom, s.z + s.beta, self.scale_bf)
+        tmp_q = cfg.D * grad(geom, s.phi)
+        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        # step alpha, beta
+        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
+        alpha = s.alpha + tmp_q - w * q
+        beta = s.beta + s.z - z2
+        # step phi: one symmetric red-black sweep
+        rhs = cfg.D * grad_T(geom, w * q - alpha) + s.c
+        phi = self.sgs_op.sweep(s.phi, rhs, self.sgs_its)
+        s2 = s._replace(phi=phi, q=q, alpha=alpha, beta=beta, z2=z2)
+        return s2, rhs
+
+    def _step(self, s: SolverState) -> SolverState:
+        s2, _ = self._step_parts(s)
+        return s2._replace(z=proj_soc(s2.z2 - s2.beta))
+
+    def _step_instrumented(self, s: SolverState, with_feas: bool):
+        h = self.geom.h
+        s2, rhs = self._step_parts(s)
+        resi_sgs = self.sgs_op.residual_color_a_norm(s2.phi, rhs, h)
+        s2 = s2._replace(z=proj_soc(s2.z2 - s2.beta))
+        aux = {"resi_sgs": resi_sgs}
+        if with_feas:
+            aux.update(self._feas_pair(s2))
+        return s2, aux
+
+    def _feas_pair(self, s: SolverState):
+        h = self.geom.h
+        tmp_q = self.cfg.D * grad(self.geom, s.phi)
+        prim_fea1 = norm_l2(tmp_q - self.weight * s.q, h)
+        dual_fea1 = s.sigma * norm_l2(
+            self.cfg.D * grad_T(self.geom, s.alpha) - s.c, h
+        )
+        return {"primFea1": prim_fea1, "dualFea1": dual_fea1}
+
+    def _build(self):
+        super()._build()
+        step = self._step
+        halpern = self._halpern
+
+        @partial(jax.jit, static_argnums=(1, 2))
+        def seg(e: AccState, k, with_feas):
+            if with_feas:
+                def body(e, _):
+                    e = e._replace(s=step(e.s))
+                    feas = self._feas_pair(e.s)
+                    return halpern(e), feas
+
+                e, feas = jax.lax.scan(body, e, None, length=k - 1)
+                s, aux = self._step_instrumented(e.s, True)
+                last = {kk: aux[kk] for kk in ("primFea1", "dualFea1")}
+                aux = {"resi_sgs": aux["resi_sgs"]}
+                aux["feas_hist"] = jax.tree.map(
+                    lambda hist, lst: jnp.concatenate([hist, lst[None]]),
+                    feas,
+                    last,
+                )
+                return e._replace(s=s), aux
+
+            def body(_, e):
+                e = e._replace(s=step(e.s))
+                return halpern(e)
+
+            e = jax.lax.fori_loop(0, k - 1, body, e)
+            s, aux = self._step_instrumented(e.s, False)
+            return e._replace(s=s), aux
+
+        def run_segment(e, k):
+            e, aux = seg(e, int(k), bool(self.with_feas))
+            self.last_aux = aux
+            return e
+
+        self.with_feas = False
+        self.run_segment = run_segment
+        base_kkt = self.kkt
+
+        def kkt_with_sgs(e: AccState):
+            out = self._kkt(e.s)
+            h = self.geom.h
+            tmp_q = self.cfg.D * grad(self.geom, e.s.phi)
+            resi_alpha = tmp_q - self.weight * e.s.q
+            t1 = norm_l2(self.cfg.D * grad_T(self.geom, resi_alpha), h)
+            dual1 = norm_l2(
+                self.cfg.D * grad_T(self.geom, e.s.alpha) - e.s.c, h
+            )
+            out["kkt_sgs_blocks"] = jnp.sqrt(t1 * t1 + dual1 * dual1)
+            return out
+
+        self.kkt = jax.jit(kkt_with_sgs)
+
+    def prep(self, var, sigma) -> AccState:
+        e = super().prep(var, sigma)
+        # de-mean phi once (``solver_socp_accsGSADMM.m:165``)
+        s = e.s._replace(phi=e.s.phi - jnp.mean(e.s.phi))
+        cur = _iterate_tuple(s)
+        return AccState(s=s, old=cur, anchor=cur, k=e.k)
+
+
+class SgsKernels(Kernels):
+    """sGS-based inPALM: the DCT solve replaced by one red-black symmetric
+    Gauss-Seidel sweep (``solver_socp_sGSinPALM.m:203-206``), making the
+    phi-step halo-local — the preferred form under heavy spatial sharding.
+    """
+
+    sgs_its = 1
+
+    def __init__(self, cfg: LevelConfig, weight=None):
+        self.sgs = make_sgs(cfg.geom, D=cfg.D, eps=0.0, dtype=cfg.dtype)
+        self.last_aux = {}
+        super().__init__(cfg, weight)
+
+    def _phi_rhs(self, s: SolverState):
+        return self.cfg.D * grad_T(self.geom, self.weight * s.q - s.alpha) + s.c
+
+    def _step_from_phi(self, s: SolverState, phi) -> SolverState:
+        cfg = self.cfg
+        geom = self.geom
+        w = self.weight
+        z = proj_soc(s.z2 - s.beta)
+        tmp_q = cfg.D * grad(geom, phi)
+        q2 = bfd_T(geom, z + s.beta, self.scale_bf)
+        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
+        resi_alpha = tmp_q - w * q
+        resi_beta = z - z2
+        return s._replace(
+            phi=phi,
+            q=q,
+            z=z,
+            alpha=s.alpha + cfg.tau * resi_alpha,
+            beta=s.beta + cfg.tau * resi_beta,
+            z2=z2,
+        )
+
+    def _step(self, s: SolverState) -> SolverState:
+        phi = self.sgs.sweep(s.phi, self._phi_rhs(s), self.sgs_its)
+        return self._step_from_phi(s, phi)
+
+    def _step_instrumented(self, s: SolverState, with_feas: bool):
+        """Final-segment step: capture the sGS block residual right after the
+        phi sweep (``solver_socp_sGSinPALM.m:208-218``) and, when the
+        'sGS superior' mode is active, the cheap per-iteration feasibility
+        pair (``solver_socp_sGSinPALM.m:373-390``)."""
+        h = self.geom.h
+        rhs = self._phi_rhs(s)
+        phi = self.sgs.sweep(s.phi, rhs, self.sgs_its)
+        resi_sgs = self.sgs.residual_color_a_norm(phi, rhs, h)
+        s = self._step_from_phi(s, phi)
+        aux = {"resi_sgs": resi_sgs}
+        if with_feas:
+            aux.update(self._feas_pair(s))
+        return s, aux
+
+    def _feas_pair(self, s: SolverState):
+        h = self.geom.h
+        tmp_q = self.cfg.D * grad(self.geom, s.phi)
+        resi_alpha = tmp_q - self.weight * s.q
+        prim_fea1 = norm_l2(resi_alpha, h)
+        dual_fea1 = s.sigma * norm_l2(
+            self.cfg.D * grad_T(self.geom, s.alpha) - s.c, h
+        )
+        return {"primFea1": prim_fea1, "dualFea1": dual_fea1}
+
+    def _build(self):
+        step = self._step
+
+        @partial(jax.jit, donate_argnums=0, static_argnums=(1, 2))
+        def seg(s: SolverState, k, with_feas):
+            if with_feas:
+                def body(s, _):
+                    s = step(s)
+                    return s, self._feas_pair(s)
+
+                s, feas = jax.lax.scan(body, s, None, length=k - 1)
+                s, aux = self._step_instrumented(s, True)
+                last = {kk: aux[kk] for kk in ("primFea1", "dualFea1")}
+                aux = {"resi_sgs": aux["resi_sgs"]}
+                aux["feas_hist"] = jax.tree.map(
+                    lambda hist, lst: jnp.concatenate([hist, lst[None]]),
+                    feas,
+                    last,
+                )
+                return s, aux
+            s = jax.lax.fori_loop(0, k - 1, lambda _, st: step(st), s)
+            return self._step_instrumented(s, False)
+
+        def run_segment(s, k):
+            s, aux = seg(s, int(k), bool(self.with_feas))
+            self.last_aux = aux
+            return s
+
+        self.with_feas = False
+        self.run_segment = run_segment
+        self.kkt = jax.jit(self._kkt)
+        self.norms = jax.jit(self._norms)
+        self.sigma_mult = jax.jit(self._sigma_mult)
+        self.rescale = jax.jit(self._rescale)
+        self.get_sigma = lambda s: s.sigma
+
+    def _kkt(self, s: SolverState):
+        out = super()._kkt(s)
+        # kkt error of the sGS blocks (``solver_socp_sGSinPALM.m:322``):
+        # sqrt(||A'(A phi - q + alpha)... || — assembled from resi_alpha)
+        h = self.geom.h
+        tmp_q = self.cfg.D * grad(self.geom, s.phi)
+        resi_alpha = tmp_q - self.weight * s.q
+        t1 = norm_l2(self.cfg.D * grad_T(self.geom, resi_alpha), h)
+        dual1 = norm_l2(self.cfg.D * grad_T(self.geom, s.alpha) - s.c, h)
+        out["kkt_sgs_blocks"] = jnp.sqrt(t1 * t1 + dual1 * dual1)
+        return out
+
+    def _rescale(self, s, d_scale2, c_scale2):
+        """sGS scales phi and q, not z (``solver_socp_sGSinPALM.m:185-190``)."""
+        cfg = self.cfg
+        r = d_scale2 / (c_scale2 * c_scale2)
+        q = s.q / d_scale2
+        d_scale = s.dScale * d_scale2
+        z2 = bfd(self.geom, q, self.scale_bf, cfg.E / d_scale)
+        return s._replace(
+            sigma=s.sigma * (c_scale2 / d_scale2),
+            c=s.c * r,
+            norm_c=s.norm_c / c_scale2,
+            norm_d=s.norm_d / d_scale2,
+            alpha=s.alpha * r,
+            beta=s.beta * r,
+            phi=s.phi / d_scale2,
+            q=q,
+            z2=z2,
+            dScale=d_scale,
+            cScale=s.cScale * c_scale2,
+            sigmaScale=s.sigmaScale * (c_scale2 / d_scale2),
+        )
+
+    def prep(self, var, sigma):
+        s = super().prep(var, sigma)
+        # de-mean phi once (``solver_socp_sGSinPALM.m:144``)
+        return s._replace(phi=s.phi - jnp.mean(s.phi))

@@ -1,0 +1,244 @@
+"""Per-level problem setup, initial scaling, and solution recovery.
+
+Replaces the reference's ``initialize.m`` + the ``InitialScaling`` /
+``recoverOrgVar`` closures of ``solver_dotsocp2d.m:304-386`` (1-D deltas at
+``solver_dotsocp1d.m:263-317``, weighted at ``solver_wdotsocp2d.m:296-360``).
+All quantities live in shaped arrays; the scaled gradient D stays a scalar
+applied inside the operators instead of scaling a sparse matrix.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import Geometry
+from ..ops.staggered import Staggered
+from ..ops import staggered as stg
+from ..utils.norms import norm_l2
+
+
+@dataclasses.dataclass
+class LevelVar:
+    """One level's variables + model data (the reference's var/model pair)."""
+
+    geom: Geometry
+    rho0: jax.Array
+    rho1: jax.Array
+    c: jax.Array
+    phi: jax.Array
+    q: Staggered
+    z: jax.Array
+    alpha: Staggered
+    beta: jax.Array
+    weight: Optional[Staggered] = None
+    # scaling factors (set by initial_scaling)
+    D: float = 1.0
+    E: float = 1.0
+    cScale: float = 1.0
+    dScale: float = 1.0
+    E2: float = math.sqrt(2.0)
+    norm_c: float = 0.0
+    norm_d: float = math.sqrt(2.0)
+
+    def as_dict(self):
+        return {
+            "phi": self.phi,
+            "q": self.q,
+            "z": self.z,
+            "alpha": self.alpha,
+            "beta": self.beta,
+            "c": self.c,
+            "cScale": self.cScale,
+            "dScale": self.dScale,
+            "norm_c": self.norm_c,
+            "norm_d": self.norm_d,
+        }
+
+
+def initialize(rho0, rho1, nt: int, dtype=jnp.float64,
+               weight: Optional[Staggered] = None) -> LevelVar:
+    """Build model (c) and initial variables (``initialize.m``):
+    phi = sum_a x_a^2 / 2 replicated over t; z, beta, q, alpha zero."""
+    rho0 = jnp.asarray(rho0, dtype)
+    rho1 = jnp.asarray(rho1, dtype)
+    space = rho0.shape
+    geom = Geometry(nt=nt, space=space)
+
+    c = jnp.zeros(geom.phi_shape, dtype)
+    c = c.at[0].set(-rho0 / geom.ht)
+    c = c.at[-1].set(rho1 / geom.ht)
+
+    # phi0 = (1/2) * sum of squared coordinates (``initialize.m:48-50``)
+    phi_sp = jnp.zeros(space, dtype)
+    for a, n in enumerate(space):
+        x = jnp.linspace(0.0, 1.0, n, dtype=dtype)
+        shape = [1] * len(space)
+        shape[a] = n
+        phi_sp = phi_sp + 0.5 * x.reshape(shape) ** 2
+    phi = jnp.broadcast_to(phi_sp, geom.phi_shape).astype(dtype)
+
+    return LevelVar(
+        geom=geom,
+        rho0=rho0,
+        rho1=rho1,
+        c=c,
+        phi=phi,
+        q=stg.zeros(geom, dtype),
+        z=jnp.zeros(geom.z_shape, dtype),
+        alpha=stg.zeros(geom, dtype),
+        beta=jnp.zeros(geom.z_shape, dtype),
+        weight=weight,
+    )
+
+
+def update_e2(prev_e2: Optional[float], last_kkt, weighted: bool) -> float:
+    """E2 feedback from the previous level's final KKT
+    (``solver_dotsocp2d.m:308-318``; weighted: safeguard 4,
+    ``solver_wdotsocp2d.m:300-305``)."""
+    if last_kkt is None or prev_e2 is None:
+        return math.sqrt(2.0)
+    ratio = math.sqrt(max(last_kkt[0], 1e-300) / max(last_kkt[1], 1e-300))
+    if weighted:
+        return prev_e2 * min(4.0, max(0.25, ratio))
+    lower = 0.8333
+    if ratio < lower:
+        return prev_e2 * max(1.0 / math.sqrt(2.0), ratio / lower)
+    return prev_e2 * min(math.sqrt(2.0), max(1.0, ratio))
+
+
+def initial_scaling(lv: LevelVar, scaling: bool, last_kkt=None,
+                    prev_e2: Optional[float] = None) -> None:
+    """Scale (c, phi, q, z, alpha, beta) and set (D, E, cScale, dScale)
+    in place (``solver_dotsocp2d.m:304-365``)."""
+    geom = lv.geom
+    h = geom.h
+    h_mean = geom.h_mean
+    weighted = lv.weight is not None
+
+    lv.E2 = update_e2(prev_e2, last_kkt, weighted)
+
+    if not scaling:
+        lv.cScale = lv.dScale = lv.D = lv.E = 1.0
+        lv.norm_c = float(norm_l2(lv.c, h))
+        lv.norm_d = math.sqrt(2.0)
+        return
+
+    norm_c = float(norm_l2(lv.c, h)) * math.sqrt(geom.nt)
+    norm_d = math.sqrt(2.0)
+
+    if weighted:
+        # geometric-mean weight adjustment (``solver_wdotsocp2d.m:310-316``)
+        logs = [jnp.log10(lv.weight.q0 + 1e-10)] + [
+            jnp.log10(b + 1e-10) for b in lv.weight.bs
+        ]
+        total = sum(float(jnp.sum(x)) for x in logs)
+        count = sum(x.size for x in logs)
+        adjust = 10.0 ** (total / count)
+        D = math.sqrt(2.0) * math.sqrt(h_mean) * adjust
+        E = D / lv.E2
+        c_scale = max(1.0, norm_c * math.sqrt(h_mean) / adjust)
+        d_scale = E * norm_d * math.sqrt(adjust)
+    else:
+        D = math.sqrt(2.0) * math.sqrt(h_mean)
+        E = D / lv.E2
+        c_scale = max(1.0, norm_c * math.sqrt(h_mean))
+        d_scale = E * norm_d
+
+    lv.norm_c = norm_c / c_scale
+    lv.norm_d = norm_d * E / d_scale
+    lv.c = lv.c / c_scale
+    lv.phi = lv.phi / d_scale
+    lv.q = lv.q * (D / d_scale)
+    lv.z = lv.z * (E / d_scale)
+    lv.alpha = lv.alpha * (1.0 / (c_scale * D))
+    lv.beta = lv.beta * (1.0 / (c_scale * E))
+    lv.D, lv.E, lv.cScale, lv.dScale = D, E, c_scale, d_scale
+
+
+def recover_org_var(lv: LevelVar, out: dict) -> None:
+    """Undo the initial scaling on the solver's outputs in place
+    (``solver_dotsocp2d.m:368-386``); ``out`` is the finalized var dict with
+    possibly grown cScale/dScale from dynamic rescaling."""
+    c_scale = float(jax.device_get(out["cScale"]))
+    d_scale = float(jax.device_get(out["dScale"]))
+    D, E = lv.D, lv.E
+    lv.phi = out["phi"] * d_scale
+    lv.z = out["z"] * (d_scale / E)
+    lv.q = out["q"] * (d_scale / D)
+    lv.alpha = out["alpha"] * (c_scale * D)
+    lv.beta = out["beta"] * (c_scale * E)
+    lv.cScale, lv.dScale = c_scale, d_scale
+
+
+# ---------------------------------------------------------------------------
+# solution recovery (``recover_RhoE.m``, ``recover_q.m``)
+# ---------------------------------------------------------------------------
+
+def recover_rho_e(lv: LevelVar):
+    """(rho, E_1..E_d) from the multiplier alpha: alpha's q0-block is the
+    density on time-staggered cells, its face blocks are the momentum."""
+    geom = lv.geom
+    alpha = lv.alpha if lv.weight is None else lv.weight * lv.alpha
+    rho_mid = alpha.q0
+    rho = jnp.concatenate(
+        [
+            lv.rho0[None],
+            0.5 * (rho_mid[:-1] + rho_mid[1:]),
+            lv.rho1[None],
+        ],
+        axis=0,
+    )
+    Es = []
+    for a in range(geom.ndim_space):
+        b = alpha.bs[a]
+        # double the boundary time slabs (half-cells)
+        b = b.at[0].mul(2.0).at[-1].mul(2.0)
+        ax = 1 + a
+        n_a = geom.space[a]
+        lo = jax.lax.slice_in_dim(b, 0, n_a - 2, axis=ax)
+        hi = jax.lax.slice_in_dim(b, 1, n_a - 1, axis=ax)
+        mid = 0.5 * (lo + hi)
+        pad = [(0, 0)] * b.ndim
+        pad[ax] = (1, 1)
+        Es.append(jnp.pad(mid, pad))
+    return rho, Es
+
+
+def recover_q_centered(lv: LevelVar):
+    """(q0, b_1..b_d) on the cell-centered / time-staggered grid
+    (``recover_q.m``)."""
+    geom = lv.geom
+    q0 = lv.q.q0
+    bs = []
+    for a in range(geom.ndim_space):
+        b = lv.q.bs[a]
+        ax = 1 + a
+        n_a = geom.space[a]
+        lo = jax.lax.slice_in_dim(b, 0, n_a - 2, axis=ax)
+        hi = jax.lax.slice_in_dim(b, 1, n_a - 1, axis=ax)
+        mid = 0.5 * (lo + hi)
+        pad = [(0, 0)] * b.ndim
+        pad[ax] = (1, 1)
+        b_cc = jnp.pad(mid, pad)
+        bs.append(0.5 * (b_cc[:-1] + b_cc[1:]))
+    return q0, bs
+
+
+def check_mass_conservation(rho, tol: float = 1e-2, verbose: bool = False) -> bool:
+    """Per-time-slab mass and negative-mass check
+    (``check_massConservation.m``): max(|int rho - 1|, |int rho_-|) <= tol."""
+    rho = np.asarray(rho)
+    axes = tuple(range(1, rho.ndim))
+    n = np.prod(rho.shape[1:])
+    mass = rho.sum(axis=axes) / n
+    neg = np.where(rho < 0, rho, 0.0).sum(axis=axes) / n
+    err = max(np.abs(mass - 1.0).max(), np.abs(neg).max())
+    if verbose:
+        print("Total mass per time slab:", mass)
+        print("Negative mass per time slab:", neg)
+    return bool(err <= tol)

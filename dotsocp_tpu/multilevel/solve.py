@@ -1,0 +1,335 @@
+"""Top-level multilevel solver API — the equivalent of
+``solver_dotsocp1d.m`` / ``solver_dotsocp2d.m`` / ``solver_wdotsocp2d.m`` in
+one dimension-polymorphic entry point.
+
+``solve_dot(rho0, rho1, nt, level_n, opts, method)`` builds the coarse
+pyramid, runs the chosen algorithm per level with warm-started sigma and
+E2 feedback, prolongates between levels, and recovers (rho, E, q).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithms.core import LevelConfig
+from ..algorithms.driver import SolveOptions
+from ..algorithms.solvers import (
+    AccADMMSolver,
+    AccSgsADMMSolver,
+    ALG2Solver,
+    InPALMSolver,
+    PALMSolver,
+    SgsInPALMSolver,
+)
+from ..algorithms.variants import (
+    AccADMMKernels,
+    AccSgsADMMKernels,
+    InPALMKernels,
+    PALMKernels,
+    SgsKernels,
+)
+from ..ops.cone import bfd_T
+from ..ops.grad import grad
+from ..ops.staggered import Staggered
+from .level import (
+    LevelVar,
+    check_mass_conservation,
+    initial_scaling,
+    initialize,
+    recover_org_var,
+    recover_q_centered,
+    recover_rho_e,
+)
+from .transfer import prolong_phi, prolong_z_like, restrict_density, restrict_staggered
+
+DOT_METHODS = ("PALM", "inPALM", "ALG2", "acc-ADMM", "sGS-inPALM", "acc-sGS-ADMM")
+WDOT_METHODS = ("inPALM", "ALG2", "acc-ADMM")
+
+KKT_LEGEND = [
+    "||A psi - q|| / (1 + ||A psi|| + ||q||)",
+    "||B F q + d - z|| / (1 + ||d||)",
+    "||A* alpha + c|| / (1 + ||c||)",
+    "||z - Pi_Q(z - beta)|| / (1 + ||z|| + ||beta||)",
+    "||F* B* beta + alpha|| / (1 + ||F* B* beta|| + ||alpha||)",
+    "||alpha1 - Pi_+(alpha1 + f(q))|| / (1 + ||alpha1|| + ||f(q)||)",
+    "||alpha2 - g(alpha1, q)|| / (1 + ||alpha2|| + ||g(alpha1, q)||)",
+]
+
+ADMM_MAXIT = 3000
+SGS_MAXIT = 6000
+WDOT_MAXIT = 10000
+ALM_STEPSIZE = 1.9
+ALG2_STEPSIZE = 1.0
+
+
+def _is_sgs(method: str) -> bool:
+    return method in ("sGS-inPALM", "acc-sGS-ADMM")
+
+
+def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype):
+    weighted = lv.weight is not None
+    cfg = LevelConfig(
+        geom=lv.geom,
+        D=lv.D,
+        E=lv.E,
+        tau=o.tau,
+        weighted=weighted,
+        check_prim_dual_feas=o.check_prim_dual_feas,
+        dtype=dtype,
+    )
+    w = lv.weight
+    if method in ("inPALM", "ALG2"):
+        k = InPALMKernels(cfg, w)
+        return (ALG2Solver if method == "ALG2" else InPALMSolver)(k, o)
+    if method == "PALM":
+        return PALMSolver(PALMKernels(cfg, w), o)
+    if method == "acc-ADMM":
+        return AccADMMSolver(AccADMMKernels(cfg, w, restart=o.restart, rho=o.rho), o)
+    if method == "sGS-inPALM":
+        return SgsInPALMSolver(SgsKernels(cfg, w), o)
+    if method == "acc-sGS-ADMM":
+        return AccSgsADMMSolver(
+            AccSgsADMMKernels(cfg, w, restart=o.restart, rho=o.rho), o
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _jump_next_level(lv: LevelVar, rho0_f, rho1_f, nt_f: int, dtype,
+                     weight_f: Optional[Staggered] = None) -> LevelVar:
+    """Prolongate (phi, beta), rebuild the fine model, and warm-start
+    q = A phi, alpha = -(BF)^T beta (``jump_nextLevel.m``; weighted variant
+    divides both by the fine weight)."""
+    phi_f = prolong_phi(lv.phi)
+    beta_f = prolong_z_like(lv.beta)
+    lv_f = initialize(rho0_f, rho1_f, nt_f, dtype=dtype, weight=weight_f)
+    lv_f.phi = phi_f.astype(dtype)
+    lv_f.beta = beta_f.astype(dtype)
+    q = grad(lv_f.geom, lv_f.phi)
+    alpha = bfd_T(lv_f.geom, -lv_f.beta, 1.0)
+    if weight_f is not None:
+        q = q / weight_f
+        alpha = alpha / weight_f
+    lv_f.q = q
+    lv_f.alpha = alpha
+    return lv_f
+
+
+def _cat_hist(hists):
+    """Concatenate per-level histories with time/iter offsets
+    (``solver_dotsocp2d.m:389-407``)."""
+    out = {"kkt": [], "time": [], "iter": [], "pdGap": []}
+    t_off = 0.0
+    i_off = 0
+    for h in hists:
+        out["kkt"].append(h["kkt"])
+        out["pdGap"].append(h["pdGap"])
+        out["time"].append(h["time"] + t_off)
+        out["iter"].append(h["iter"] + i_off)
+        if len(h["time"]):
+            t_off = out["time"][-1][-1]
+            i_off = out["iter"][-1][-1]
+    return {
+        "kkt": np.concatenate(out["kkt"]) if out["kkt"] else np.zeros((0, 7)),
+        "time": np.concatenate(out["time"]),
+        "iter": np.concatenate(out["iter"]),
+        "pdGap": np.concatenate(out["pdGap"]),
+        "len": sum(len(h["iter"]) for h in hists),
+    }
+
+
+def solve_dot(
+    rho0,
+    rho1,
+    nt: int,
+    level_n: int = 1,
+    opts: Optional[dict] = None,
+    method: str = "inPALM",
+    weight: Optional[Staggered] = None,
+    barrier=None,
+    dtype=None,
+    verbose: bool = True,
+):
+    """Multilevel DOT-SOCP solve. ``weight`` switches to the weighted
+    problem (wdot family). Returns (output, run_hist_ml, run_hist).
+
+    output: rho (nt, *space), E (list per axis; Ex/Ey aliases in 2D), q0,
+    b (list per axis), mass_ok, iters/time per level.
+    """
+    opts = dict(opts or {})
+    weighted = weight is not None
+    methods = WDOT_METHODS if weighted else DOT_METHODS
+    if method not in methods:
+        raise ValueError(f"method {method!r} not in {methods}")
+    if not (isinstance(level_n, int) and level_n >= 1):
+        raise ValueError("level_n must be a positive integer")
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    sgs_method = _is_sgs(method)
+    tol = float(opts.get("tol", 1e-4))
+    scaling = bool(opts.get("scaling", True))
+    maxit = int(
+        opts.get(
+            "maxit",
+            WDOT_MAXIT if weighted else (SGS_MAXIT if sgs_method else ADMM_MAXIT),
+        )
+    )
+    sigma0 = float(opts.get("sigma", 0.1 if sgs_method else 1.0))
+    time_limit = float(opts.get("time_limit", 3600.0))
+    check_sbs = bool(opts.get("ifCheckStepByStep", False))
+    check_pdf = bool(opts.get("checkPrimDualFeas", not weighted))
+
+    if method in ("PALM", "inPALM", "sGS-inPALM"):
+        tau = ALM_STEPSIZE
+    elif method == "ALG2":
+        tau = ALG2_STEPSIZE
+    else:
+        tau = 1.0  # acc-ADMM multiplier steps are unit
+
+    # tolerance pyramid (``solver_dotsocp2d.m:124-130,166-178``)
+    tol_factor = -1.0 if tol > 0.99e-3 else -0.5
+    ndim = np.asarray(rho0).ndim
+    tol_lower = 1e-5 if ndim == 1 else 1e-4
+
+    rho0s = [None] * level_n
+    rho1s = [None] * level_n
+    nts = [0] * level_n
+    tols = [0.0] * level_n
+    weights = [None] * level_n
+    rho0s[-1] = jnp.asarray(rho0, dtype)
+    rho1s[-1] = jnp.asarray(rho1, dtype)
+    nts[-1] = nt
+    tols[-1] = tol
+    weights[-1] = weight
+
+    for lev in range(level_n - 2, -1, -1):
+        nts[lev] = (nts[lev + 1] - 1) // 2 + 1
+        tols[lev] = max(tols[lev + 1] * 2.0 ** tol_factor, tol_lower)
+        r0 = restrict_density(rho0s[lev + 1])
+        r1 = restrict_density(rho1s[lev + 1])
+        if weighted:
+            weights[lev] = restrict_staggered(
+                weights[lev + 1], log_space=barrier is not None
+            )
+            if barrier is not None:
+                from ..models.wdot2d import ensure_barrier_validity
+
+                r0, r1, _ = ensure_barrier_validity(r0, r1, barrier)
+                r0 = jnp.asarray(r0, dtype)
+                r1 = jnp.asarray(r1, dtype)
+            else:
+                r0 = r0 / (r0.mean())
+                r1 = r1 / (r1.mean())
+        else:
+            # renormalize to unit mean (``solver_dotsocp2d.m:174-178``)
+            r0 = r0 / r0.mean()
+            r1 = r1 / r1.mean()
+        rho0s[lev] = r0
+        rho1s[lev] = r1
+
+    # multilevel loop
+    lv = initialize(rho0s[0], rho1s[0], nts[0], dtype=dtype, weight=weights[0])
+    last_kkt = None
+    prev_e2 = None
+    hists = []
+    level_reports = []
+    sigma = sigma0
+    t_start = time.monotonic()
+
+    for lev in range(level_n):
+        initial_scaling(lv, scaling, last_kkt, prev_e2)
+        prev_e2 = lv.E2
+
+        o = SolveOptions(
+            tol=tols[lev],
+            maxit=maxit,
+            sigma=sigma,
+            tau=tau,
+            time_limit=time_limit,
+            scaling=scaling,
+            check_step_by_step=check_sbs,
+            check_prim_dual_feas=check_pdf,
+            restart=int(opts.get("restart", 100)),
+            rho=float(opts.get("rho", 2.0)),
+            theta=float(opts.get("theta", 2.0)),
+        )
+        lev_method = method
+        lev_maxit = maxit
+        if sgs_method and lev < level_n - 1:
+            # non-final levels of sGS methods run inPALM
+            # (``solver_dotsocp2d.m:209-223``)
+            lev_method = "inPALM"
+            o.maxit = ADMM_MAXIT
+            o.tau = ALM_STEPSIZE
+
+        solver = _build_solver(lev_method, lv, o, dtype)
+        hist, out = solver.solve(lv.as_dict())
+        hist["method"] = solver.name
+        hists.append(hist)
+
+        recover_org_var(lv, out)
+        level_reports.append(
+            {
+                "level": lev + 1,
+                "geom": lv.geom,
+                "iters": out["iters"],
+                "time": out["solve_time"],
+                "method": solver.name,
+            }
+        )
+        if verbose:
+            print(
+                f"Completed level {lev + 1}/{level_n} "
+                f"(nt={lv.geom.nt}, space={lv.geom.space}): "
+                f"{out['iters']} iters, {out['solve_time']:.2f}s, "
+                f"final KKT max={np.max(hist['kkt'][-1][[0, 2, 5]]):.2e}"
+            )
+
+        if lev < level_n - 1:
+            time_limit -= out["solve_time"]
+            sigma = 10.0 ** (math.log10(sigma * out["sigma_out"]) / 2.0)
+            last_kkt = hist["kkt"][-1]
+            lv = _jump_next_level(
+                lv, rho0s[lev + 1], rho1s[lev + 1], nts[lev + 1], dtype,
+                weights[lev + 1],
+            )
+
+    total_time = time.monotonic() - t_start
+
+    # recover solution
+    rho, Es = recover_rho_e(lv)
+    q0, bs = recover_q_centered(lv)
+    mass_ok = check_mass_conservation(np.asarray(rho))
+    if not mass_ok and verbose:
+        print("WARNING: mass conservation violation exceeds 1e-2")
+
+    output = {
+        "rho": rho,
+        "E": Es,
+        "q0": q0,
+        "b": bs,
+        "mass_ok": mass_ok,
+        "levels": level_reports,
+        "total_time": total_time,
+        "kkt_names": KKT_LEGEND,
+    }
+    if lv.geom.ndim_space == 2:
+        # space = (ny, nx): axis 0 = y, axis 1 = x
+        output["Ey"], output["Ex"] = Es[0], Es[1]
+        output["by"], output["bx"] = bs[0], bs[1]
+    elif lv.geom.ndim_space == 1:
+        output["Ex"] = Es[0]
+        output["bx"] = bs[0]
+
+    run_hist_ml = _cat_hist(hists)
+    run_hist_ml["method"] = hists[-1]["method"]
+    run_hist_ml["kktNames"] = KKT_LEGEND
+    run_hist = hists[-1]
+    return output, run_hist_ml, run_hist

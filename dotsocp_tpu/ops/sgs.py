@@ -62,7 +62,8 @@ class RedBlackSGS(NamedTuple):
             pad_lo[ax] = (1, 0)
             pad_hi = [(0, 0)] * phi.ndim
             pad_hi[ax] = (0, 1)
-            out = out + w * (jnp.pad(lo, pad_hi) + jnp.pad(hi, pad_lo))
+            # left neighbor phi[p-1] + right neighbor phi[p+1]
+            out = out + w * (jnp.pad(lo, pad_lo) + jnp.pad(hi, pad_hi))
         return out
 
     def _half_sweep(self, phi: jax.Array, rhs: jax.Array, color_a: bool) -> jax.Array:

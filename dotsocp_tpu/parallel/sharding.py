@@ -1,0 +1,127 @@
+"""Mesh construction and sharding rules for batch + spatial parallelism.
+
+The reference is strictly single-process (SURVEY.md section 2.5); this module
+is the new parallel substrate. Parallel axes of the workload:
+
+- ``batch``: independent transport instances (data parallelism) — a leading
+  axis added by ``vmap`` over the solver step.
+- ``y``, ``x``: spatial domain decomposition of the space-time grid (the
+  workload's "model parallelism"). Stencil ops (grad, BF, sGS) become
+  halo exchanges; the matmul-DCT phi-solve becomes distributed matmuls —
+  all inserted automatically by XLA's SPMD partitioner from sharding
+  annotations (collectives ride ICI).
+
+The time axis stays local: it is the smallest axis and the BF stencil
+couples adjacent time slabs only.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..algorithms.core import SolverState
+from ..ops.staggered import Staggered
+
+
+def factorize(n: int, k: int) -> list[int]:
+    """Split n into k near-balanced factors (largest first)."""
+    dims = [1] * k
+    remaining = n
+    i = 0
+    while remaining > 1:
+        # smallest prime factor
+        p = next(
+            (d for d in range(2, int(math.isqrt(remaining)) + 1) if remaining % d == 0),
+            remaining,
+        )
+        dims[i % k] *= p
+        remaining //= p
+        i += 1
+    return sorted(dims, reverse=True)
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("batch", "y", "x")) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    shape = factorize(len(devs), len(axis_names))
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def _maybe_batch(spec: P, batched: bool) -> P:
+    return P("batch", *spec) if batched else P(*spec)
+
+
+def state_shardings(mesh: Mesh, batched: bool = True) -> SolverState:
+    """NamedSharding pytree for a (possibly batch-leading) SolverState.
+
+    Layouts: centered/staggered fields shard (y, x) on their trailing
+    spatial axes; the cone-column and time axes stay local; scalars are
+    replicated.
+    """
+    ndim_space = len([a for a in ("y", "x") if a in mesh.axis_names])
+
+    def sh(*spec):
+        return NamedSharding(mesh, _maybe_batch(P(*spec), batched))
+
+    if ndim_space == 2:
+        centered = sh(None, "y", "x")       # (nt, ny, nx)
+        zlike = sh(None, None, "y", "x")    # (C, nt-1, ny, nx)
+        stag = Staggered(
+            q0=sh(None, "y", "x"),
+            bs=(sh(None, "y", "x"), sh(None, "y", "x")),
+        )
+    else:
+        centered = sh(None, "x")
+        zlike = sh(None, None, "x")
+        stag = Staggered(q0=sh(None, "x"), bs=(sh(None, "x"),))
+    scalar = NamedSharding(mesh, P("batch") if batched else P())
+    return SolverState(
+        phi=centered,
+        q=stag,
+        z=zlike,
+        alpha=stag,
+        beta=zlike,
+        z2=zlike,
+        c=centered,
+        sigma=scalar,
+        cScale=scalar,
+        dScale=scalar,
+        norm_c=scalar,
+        norm_d=scalar,
+        sigmaScale=scalar,
+    )
+
+
+def constrain(state, shardings):
+    """Apply with_sharding_constraint over a state pytree. Must be called
+    inside jit: the grids here are 2^k + 1 (odd), which GSPMD shards with
+    internal padding — allowed for constraints, not for boundary
+    in_shardings."""
+    return jax.tree.map(
+        lambda x, s: jax.lax.with_sharding_constraint(x, s), state, shardings
+    )
+
+
+def make_sharded_step(kernels, mesh: Mesh, batched: bool = True):
+    """Jit the solver step with batch + spatial shardings annotated on the
+    state; XLA's SPMD partitioner inserts the halo exchanges for the
+    stencils and the collectives for the distributed DCT matmuls."""
+    sh = state_shardings(mesh, batched)
+    step = jax.vmap(kernels._step) if batched else kernels._step
+
+    @jax.jit
+    def sharded_step(state):
+        state = constrain(state, sh)
+        out = step(state)
+        return constrain(out, sh)
+
+    return sharded_step
+
+

@@ -8,7 +8,8 @@ to near machine precision; solver tests exercise f32 paths explicitly.
 import os
 
 # Force CPU: the session environment pins JAX_PLATFORMS to the TPU tunnel,
-# which is single-chip and slow for unit tests.
+# which is single-chip and slow for unit tests. The axon plugin re-registers
+# itself regardless of the env var, so also set it through jax.config below.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -18,6 +19,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
