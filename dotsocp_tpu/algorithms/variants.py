@@ -186,23 +186,22 @@ class AccADMMKernels(Kernels):
         self.kkt = jax.jit(lambda e: self._kkt(e.s))
         self.norms = jax.jit(lambda e: self._norms(e.s))
         self.get_sigma = lambda e: e.s.sigma
+        self.sigma_mult = jax.jit(self._sigma_mult_acc)
+        self.rescale = jax.jit(self._rescale_acc)
 
-        def sigma_mult(e: AccState, factor):
-            # scales alpha/beta/c (incl. the old copies) and restarts the
-            # anchor at the *scaled* current iterate (``accADMM.m:346-358``)
-            inv = 1.0 / factor
-            s = self._sigma_mult(e.s, factor)
-            old = (e.old[0], e.old[1], e.old[2], e.old[3] * inv, e.old[4] * inv)
-            cur = _iterate_tuple(s)
-            return AccState(s=s, old=old, anchor=cur, k=jnp.zeros_like(e.k))
+    def _sigma_mult_acc(self, e: AccState, factor) -> AccState:
+        """Scales alpha/beta/c (incl. the old copies) and restarts the
+        anchor at the *scaled* current iterate (``accADMM.m:346-358``)."""
+        inv = 1.0 / factor
+        s = self._sigma_mult(e.s, factor)
+        old = (e.old[0], e.old[1], e.old[2], e.old[3] * inv, e.old[4] * inv)
+        cur = _iterate_tuple(s)
+        return AccState(s=s, old=old, anchor=cur, k=jnp.zeros_like(e.k))
 
-        def rescale(e: AccState, d2, c2):
-            s = self._rescale_all(e.s, d2, c2)
-            cur = _iterate_tuple(s)
-            return AccState(s=s, old=cur, anchor=cur, k=jnp.zeros_like(e.k))
-
-        self.sigma_mult = jax.jit(sigma_mult)
-        self.rescale = jax.jit(rescale)
+    def _rescale_acc(self, e: AccState, d2, c2) -> AccState:
+        s = self._rescale_all(e.s, d2, c2)
+        cur = _iterate_tuple(s)
+        return AccState(s=s, old=cur, anchor=cur, k=jnp.zeros_like(e.k))
 
     def _rescale_all(self, s, d_scale2, c_scale2):
         """accADMM scales phi, q, z (``solver_socp_accADMM.m:204-209``)."""

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from typing import Optional
 
@@ -72,7 +73,14 @@ def _is_sgs(method: str) -> bool:
     return method in ("sGS-inPALM", "acc-sGS-ADMM")
 
 
-def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype):
+def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
+                  driver: str = "auto", checkpoint_path=None,
+                  device_kw=None):
+    """driver: 'device' runs the whole level loop inside one jitted
+    while_loop (one host round-trip per ~600 iterations — the TPU-native
+    fast path); 'host' uses the readable host-orchestrated driver (needed
+    for sGS variants and step-by-step checking). 'auto' picks device where
+    supported."""
     weighted = lv.weight is not None
     cfg = LevelConfig(
         geom=lv.geom,
@@ -84,13 +92,35 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype):
         dtype=dtype,
     )
     w = lv.weight
+    use_device = driver == "device" or (
+        driver == "auto"
+        and not o.check_step_by_step
+        and method in ("inPALM", "ALG2", "PALM", "acc-ADMM")
+    )
     if method in ("inPALM", "ALG2"):
         k = InPALMKernels(cfg, w)
+        if use_device:
+            from ..algorithms.device_driver import DeviceDriver
+
+            return DeviceDriver(k, o, checkpoint_path=checkpoint_path,
+                                **(device_kw or {}))
         return (ALG2Solver if method == "ALG2" else InPALMSolver)(k, o)
     if method == "PALM":
-        return PALMSolver(PALMKernels(cfg, w), o)
+        k = PALMKernels(cfg, w)
+        if use_device:
+            from ..algorithms.device_driver import DeviceDriver
+
+            return DeviceDriver(k, o, checkpoint_path=checkpoint_path,
+                                **(device_kw or {}))
+        return PALMSolver(k, o)
     if method == "acc-ADMM":
-        return AccADMMSolver(AccADMMKernels(cfg, w, restart=o.restart, rho=o.rho), o)
+        k = AccADMMKernels(cfg, w, restart=o.restart, rho=o.rho)
+        if use_device:
+            from ..algorithms.device_driver import AccDeviceDriver
+
+            return AccDeviceDriver(k, o, checkpoint_path=checkpoint_path,
+                                   **(device_kw or {}))
+        return AccADMMSolver(k, o)
     if method == "sGS-inPALM":
         return SgsInPALMSolver(SgsKernels(cfg, w), o)
     if method == "acc-sGS-ADMM":
@@ -269,7 +299,19 @@ def solve_dot(
             o.maxit = ADMM_MAXIT
             o.tau = ALM_STEPSIZE
 
-        solver = _build_solver(lev_method, lv, o, dtype)
+        ckpt_dir = opts.get("checkpoint_dir")
+        ckpt_path = (
+            os.path.join(ckpt_dir, f"level{lev + 1}.npz") if ckpt_dir else None
+        )
+        device_kw = {}
+        if "chunk_iters" in opts:
+            device_kw["chunk_iters"] = int(opts["chunk_iters"])
+        if "max_chunks" in opts:
+            device_kw["max_chunks"] = int(opts["max_chunks"])
+        solver = _build_solver(lev_method, lv, o, dtype,
+                                driver=str(opts.get("driver", "auto")),
+                                checkpoint_path=ckpt_path,
+                                device_kw=device_kw)
         hist, out = solver.solve(lv.as_dict())
         hist["method"] = solver.name
         hists.append(hist)

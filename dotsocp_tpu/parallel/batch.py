@@ -1,0 +1,290 @@
+"""Batched-instance solver: many independent transport problems on one
+shared geometry, advanced in lockstep by a single device loop (the
+data-parallel axis of BASELINE.md; absent from the reference).
+
+Design: the KKT-check cadence is data-independent (``IfAdjustSigma``
+depends only on iteration counters, and lastSigmaIt updates at every
+cadence point regardless of whether sigma changed), so all instances share
+one schedule and the loop stays scalar-predicated — no per-instance
+branching. Everything data-dependent is expressed branch-free:
+
+- sigma updates: per-instance factors, factor = 1 is the identity;
+- dynamic rescaling: per-instance (d2, c2), (1, 1) is the identity, and
+  triggers are evaluated at check points (alignment to the cadence is the
+  one documented deviation from the single-instance trajectory);
+- convergence: converged instances freeze via a select, the loop runs
+  until all are done.
+
+Combined with spatial sharding (:mod:`.sharding`) the batch axis maps onto
+the mesh's ``batch`` dimension for fleet-style solves.
+"""
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithms.core import Kernels, LevelConfig, SolverState
+from ..algorithms.driver import SolveOptions
+from ..algorithms.device_driver import (
+    _cadence_gap,
+    _table_factor,
+    SIGMA_BOUNDS,
+)
+from ..multilevel.level import initialize, initial_scaling
+from ..ops.geometry import Geometry
+from ..utils.norms import norm_l2
+
+
+class BatchLoopState(NamedTuple):
+    s: SolverState            # batched on every leaf (leading B)
+    it: jax.Array             # shared iteration counter
+    last_sigma_it: jax.Array  # shared cadence anchor
+    use_feas_org: jax.Array   # (B,) bool
+    stage: jax.Array          # (B,) i32
+    max_feas: jax.Array       # (B,) f32
+    rel_gap: jax.Array        # (B,) f32
+    done: jax.Array           # (B,) bool
+    done_it: jax.Array        # (B,) i32 iteration at which each converged
+    kkt_last: jax.Array       # (B, 7) latest KKT residuals
+
+
+def _tree_where(pred, a, b):
+    """Per-instance select: pred (B,) broadcast over leading axis."""
+    def sel(x, y):
+        p = pred.reshape((pred.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(p, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+class BatchedDeviceDriver:
+    """Lockstep batched solve of B instances (one level)."""
+
+    FIRST_ITER = 10
+    SECOND_ITER = 50
+    RATIO_THRESHOLD = 1.2
+
+    def __init__(self, kernels: Kernels, opts: SolveOptions,
+                 chunk_iters: int = 600):
+        self.k = kernels
+        self.opts = opts
+        self.chunk_iters = chunk_iters
+        self._chunk = self._build_chunk()
+
+    def _build_chunk(self):
+        k = self.k
+        opts = self.opts
+        tol = opts.tol
+        maxit = opts.maxit
+        stop_idx = (
+            jnp.array([0, 2, 5, 6]) if opts.check_prim_dual_feas
+            else jnp.array([0, 2, 5])
+        )
+        vstep = jax.vmap(k._step)
+        vkkt = jax.vmap(k._kkt)
+        vnorms = jax.vmap(k._norms)
+        vsigma = jax.vmap(k._sigma_mult)
+        vrescale = jax.vmap(k._rescale)
+
+        def check_block(ls: BatchLoopState) -> BatchLoopState:
+            res = vkkt(ls.s)
+            kkt_org = res["kkt_org"]          # (B, 7)
+            kkt5 = res["kkt"]                  # (B, 5)
+            pd_gap = res["pdGap"]              # (B,)
+
+            newly_done = jnp.max(kkt_org[:, stop_idx], axis=1) < tol
+            done = ls.done | newly_done
+            done_it = jnp.where(ls.done, ls.done_it, jnp.where(newly_done, ls.it, -1))
+            use_org = ls.use_feas_org | (jnp.max(kkt5, axis=1) < 5.0 * tol)
+
+            # per-instance sigma factor (1 where done or no table hit)
+            pri = jnp.where(
+                use_org,
+                jnp.maximum(kkt_org[:, 0], kkt_org[:, 1]),
+                jnp.maximum(kkt5[:, 0], kkt5[:, 1]),
+            )
+            dua = jnp.where(
+                use_org,
+                jnp.maximum(kkt_org[:, 2], kkt_org[:, 4]),
+                jnp.maximum(kkt5[:, 2], kkt5[:, 4]),
+            )
+            factor = _table_factor(pri / jnp.maximum(dua, 1e-30))
+            sigma = ls.s.sigma
+            sigma_new = jnp.clip(sigma * factor, SIGMA_BOUNDS[0], SIGMA_BOUNDS[1])
+            factor = jnp.where(done, 1.0, sigma_new / sigma).astype(sigma.dtype)
+            s = vsigma(ls.s, factor)
+
+            # rescale (aligned to the check cadence), identity via (1, 1)
+            norms = vnorms(s)
+            norm_phis = jnp.maximum(
+                jnp.maximum(norms["normPhi"], norms["normQ"]), norms["normZ"]
+            )
+            norm_alps = jnp.maximum(norms["normAlpha"], norms["normBeta"])
+            ratio = jnp.maximum(norm_alps, norm_phis) / jnp.maximum(
+                jnp.minimum(norm_alps, norm_phis), 1e-30
+            )
+            it1 = ls.it + 1
+            t1 = (
+                (ls.stage == 1) & (ls.max_feas < 2e-2) & (ls.rel_gap < 5e-2)
+                & (it1 >= self.FIRST_ITER)
+            )
+            t2 = (
+                (ls.stage == 2) & (ls.max_feas < 5e-3) & (ls.rel_gap < 1e-2)
+                & (it1 >= self.SECOND_ITER)
+            )
+            t3 = (ls.stage >= 3) & (ratio > self.RATIO_THRESHOLD)
+            trigger = (t1 | t2 | t3) & ~done
+            one = jnp.ones_like(norm_phis)
+            d2 = jnp.where(trigger, norm_phis, one)
+            c2 = jnp.where(trigger, norm_alps, one)
+            s = vrescale(s, d2, c2)
+            stage = jnp.where(trigger, ls.stage + 1, ls.stage)
+
+            max_feas = jnp.where(
+                ls.stage > 0, jnp.max(kkt5, axis=1), ls.max_feas
+            ).astype(ls.max_feas.dtype)
+            rel_gap = jnp.where(ls.stage > 0, pd_gap, ls.rel_gap).astype(
+                ls.rel_gap.dtype
+            )
+            return ls._replace(
+                s=s,
+                last_sigma_it=ls.it,
+                use_feas_org=use_org,
+                stage=stage,
+                max_feas=max_feas,
+                rel_gap=rel_gap,
+                done=done,
+                done_it=done_it,
+                kkt_last=kkt_org.astype(ls.kkt_last.dtype),
+            )
+
+        def body(ls: BatchLoopState) -> BatchLoopState:
+            s_new = vstep(ls.s)
+            s = _tree_where(ls.done, ls.s, s_new)  # freeze converged
+            ls = ls._replace(s=s, it=ls.it + 1)
+            check = (ls.it - ls.last_sigma_it) >= _cadence_gap(ls.it)
+            return jax.lax.cond(check | (ls.it >= maxit), check_block,
+                                lambda x: x, ls)
+
+        @jax.jit
+        def chunk(ls: BatchLoopState, it_end) -> BatchLoopState:
+            def cond(ls):
+                return (~jnp.all(ls.done)) & (ls.it < it_end)
+
+            return jax.lax.while_loop(cond, body, ls)
+
+        return chunk
+
+    def solve(self, bstate: SolverState):
+        """Run to convergence of all instances (or maxit / time limit)."""
+        B = bstate.sigma.shape[0]
+        ls = BatchLoopState(
+            s=bstate,
+            it=jnp.zeros((), jnp.int32),
+            last_sigma_it=jnp.full((), -(10**9), jnp.int32),
+            use_feas_org=jnp.zeros((B,), bool),
+            stage=jnp.full((B,), 1 if self.opts.scaling else 0, jnp.int32),
+            max_feas=jnp.full((B,), jnp.inf, jnp.float32),
+            rel_gap=jnp.full((B,), jnp.inf, jnp.float32),
+            done=jnp.zeros((B,), bool),
+            done_it=jnp.full((B,), -1, jnp.int32),
+            kkt_last=jnp.full((B, 7), jnp.inf, jnp.float32),
+        )
+        t0 = time.monotonic()
+        while True:
+            it = int(jax.device_get(ls.it))
+            if it >= self.opts.maxit or bool(jax.device_get(jnp.all(ls.done))):
+                break
+            if time.monotonic() - t0 > self.opts.time_limit:
+                break
+            it_end = min(it + self.chunk_iters, self.opts.maxit)
+            ls = self._chunk(ls, jnp.asarray(it_end, jnp.int32))
+        return ls, time.monotonic() - t0
+
+
+def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
+                method: str = "inPALM", dtype=jnp.float32,
+                mesh=None, verbose: bool = True):
+    """Single-level batched solve of B same-shaped instances.
+
+    rho0s/rho1s: (B, *space). Returns dict with batched rho, per-instance
+    iterations and final KKT residuals. When ``mesh`` is given, the state
+    is sharded (batch + spatial axes) before the loop so the whole fleet
+    runs SPMD across devices.
+    """
+    from ..algorithms.variants import InPALMKernels, PALMKernels
+
+    opts = dict(opts or {})
+    rho0s = jnp.asarray(rho0s, dtype)
+    rho1s = jnp.asarray(rho1s, dtype)
+    B = rho0s.shape[0]
+
+    # per-instance level setup (host loop: cheap, once)
+    states = []
+    lvs = []
+    cfg = None
+    kernels = None
+    o = SolveOptions(
+        tol=float(opts.get("tol", 1e-4)),
+        maxit=int(opts.get("maxit", 3000)),
+        sigma=float(opts.get("sigma", 1.0)),
+        tau=1.9 if method in ("inPALM", "PALM") else 1.0,
+        time_limit=float(opts.get("time_limit", 3600.0)),
+        scaling=bool(opts.get("scaling", True)),
+    )
+    for b in range(B):
+        lv = initialize(np.asarray(rho0s[b]), np.asarray(rho1s[b]), nt, dtype=dtype)
+        initial_scaling(lv, scaling=o.scaling)
+        if kernels is None:
+            cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=o.tau, dtype=dtype)
+            kcls = PALMKernels if method == "PALM" else InPALMKernels
+            kernels = kcls(cfg)
+        states.append(kernels.prep(lv.as_dict(), o.sigma))
+        lvs.append(lv)
+
+    bstate = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    if mesh is not None:
+        from .sharding import state_shardings
+
+        sh = state_shardings(mesh, batched=True)
+        bstate = jax.tree.map(
+            lambda x, s: jax.jit(lambda a: a, out_shardings=s)(x), bstate, sh
+        )
+
+    driver = BatchedDeviceDriver(kernels, o)
+    ls, elapsed = driver.solve(bstate)
+
+    # recover per-instance densities
+    kkt = np.asarray(jax.device_get(ls.kkt_last))
+    done = np.asarray(jax.device_get(ls.done))
+    done_it = np.asarray(jax.device_get(ls.done_it))
+    out_states = ls.s
+    rhos = []
+    for b in range(B):
+        lv = lvs[b]
+        st = jax.tree.map(lambda x: x[b], out_states)
+        var = kernels.finalize(st, lv.as_dict())
+        from ..multilevel.level import recover_org_var, recover_rho_e
+
+        recover_org_var(lv, var)
+        rho, _ = recover_rho_e(lv)
+        rhos.append(rho)
+    if verbose:
+        print(
+            f"batch solve: B={B}, all_done={bool(done.all())}, "
+            f"iters={int(jax.device_get(ls.it))}, {elapsed:.2f}s"
+        )
+    return {
+        "rho": jnp.stack(rhos),
+        "done": done,
+        "done_it": done_it,
+        "kkt": kkt,
+        "iters": int(jax.device_get(ls.it)),
+        "time": elapsed,
+    }
