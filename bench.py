@@ -27,6 +27,9 @@ LEVELS = 3
 
 
 def run(dtype, repeats=2, verbose=False):
+    from dotsocp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from dotsocp_tpu.models.examples import get_example_2d

@@ -281,10 +281,19 @@ class SegmentSolver:
             # run to the KKT check (acc-ADMM: state arrives pre-averaging,
             # exactly where the reference evaluates its KKT block)
             steps = e_kkt - it
-            state = self._run_segment(state, steps)
-            it = self._it
-            self.pre_kkt(state)
-            res = jax.device_get(k.kkt(state))
+            fused = getattr(k, "run_segment_check", None)
+            if fused is not None and type(self)._run_segment is SegmentSolver._run_segment:
+                # one dispatch for segment + KKT (tunnel-latency saver)
+                state, res_dev = fused(state, steps)
+                self._it += steps
+                it = self._it
+                self.pre_kkt(state)
+                res = jax.device_get(res_dev)
+            else:
+                state = self._run_segment(state, steps)
+                it = self._it
+                self.pre_kkt(state)
+                res = jax.device_get(k.kkt(state))
             elapsed = time.monotonic() - t0
 
             kkt_org = res["kkt_org"]

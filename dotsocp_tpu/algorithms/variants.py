@@ -235,6 +235,100 @@ class AccADMMKernels(Kernels):
         return super().finalize(e.s, var)
 
 
+class NesterovState(NamedTuple):
+    """State of the non-Halpern (theta != 2) acc-ADMM branch
+    (``solver_socp_accADMM.m:389-421``)."""
+
+    s: SolverState
+    old: Tuple      # x_old
+    hat_old: Tuple  # xHat_old (valid when k > 0)
+    k: jax.Array
+
+
+class AccADMMNesterovKernels(AccADMMKernels):
+    """acc-ADMM with Nesterov-type extrapolation instead of Halpern
+    anchoring — the reference's ``theta != 2`` branch. Host-driver only."""
+
+    def __init__(self, cfg: LevelConfig, weight=None, restart: int = 100,
+                 rho: float = 2.0, theta: float = 3.0):
+        self.theta = theta
+        super().__init__(cfg, weight, restart=restart, rho=rho)
+
+    def _extrapolate(self, e: NesterovState) -> NesterovState:
+        rho = self.rho
+        theta = self.theta
+        k = e.k
+        kf = k.astype(e.s.phi.dtype)
+        c1 = theta / (2.0 * (kf + theta))
+        c2 = kf / (kf + theta)
+        cur = _iterate_tuple(e.s)
+        hat = jax.tree.map(
+            lambda xo, x: (1.0 - rho) * xo + rho * x, e.old, cur
+        )
+        first = k == 0
+        new = jax.tree.map(
+            lambda xo, xh, xho: jnp.where(
+                first,
+                (1.0 - c1) * xo + c1 * xh,
+                (1.0 - c1) * xo + (c1 + c2) * xh - c2 * xho,
+            ),
+            e.old, hat, e.hat_old,
+        )
+        k1 = k + 1
+        do_restart = k1 >= self.restart
+        hat_old = jax.tree.map(
+            lambda ho, h: jnp.where(do_restart, ho, h), e.hat_old, hat
+        )
+        k1 = jnp.where(do_restart, 0, k1)
+        return NesterovState(
+            s=_with_iterate(e.s, new), old=new, hat_old=hat_old, k=k1
+        )
+
+    def _build(self):
+        step = self._step
+        extra = self._extrapolate
+
+        @jax.jit
+        def run_segment(e: NesterovState, k) -> NesterovState:
+            def body(_, e):
+                e = e._replace(s=step(e.s))
+                return extra(e)
+
+            e = jax.lax.fori_loop(0, k - 1, body, e)
+            return e._replace(s=step(e.s))
+
+        self.run_segment = run_segment
+        self.post_check = jax.jit(extra)
+        self.kkt = jax.jit(lambda e: self._kkt(e.s))
+        self.norms = jax.jit(lambda e: self._norms(e.s))
+        self.get_sigma = lambda e: e.s.sigma
+
+        def sigma_mult(e: NesterovState, factor):
+            inv = 1.0 / factor
+            s = self._sigma_mult(e.s, factor)
+            old = (e.old[0], e.old[1], e.old[2], e.old[3] * inv, e.old[4] * inv)
+            return NesterovState(s=s, old=old, hat_old=e.hat_old,
+                                 k=jnp.zeros_like(e.k))
+
+        def rescale(e: NesterovState, d2, c2):
+            s = self._rescale_all(e.s, d2, c2)
+            cur = _iterate_tuple(s)
+            return NesterovState(s=s, old=cur, hat_old=cur,
+                                 k=jnp.zeros_like(e.k))
+
+        self.sigma_mult = jax.jit(sigma_mult)
+        self.rescale = jax.jit(rescale)
+
+    def prep(self, var, sigma) -> NesterovState:
+        s = Kernels.prep(self, var, sigma)
+        cur = _iterate_tuple(s)
+        return NesterovState(s=s, old=cur, hat_old=cur,
+                             k=jnp.zeros((), jnp.int32))
+
+    def finalize(self, e: NesterovState, var) -> dict:
+        return Kernels.finalize(self, e.s, var)
+
+
 class AccSgsADMMKernels(AccADMMKernels):
     """acc-ADMM with the DCT solve replaced by one red-black sGS sweep
     (``solver_socp_accsGSADMM.m:240-274``). Step order: q, multiplier,

@@ -114,6 +114,14 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                                 **(device_kw or {}))
         return PALMSolver(k, o)
     if method == "acc-ADMM":
+        if o.theta != 2.0:
+            # non-Halpern Nesterov branch (host driver only)
+            from ..algorithms.variants import AccADMMNesterovKernels
+
+            return AccADMMSolver(
+                AccADMMNesterovKernels(cfg, w, restart=o.restart, rho=o.rho,
+                                       theta=o.theta), o
+            )
         k = AccADMMKernels(cfg, w, restart=o.restart, rho=o.rho)
         if use_device:
             from ..algorithms.device_driver import AccDeviceDriver
