@@ -26,7 +26,7 @@ TOL = 1e-4
 LEVELS = 3
 
 
-def run(dtype, repeats=2, verbose=False):
+def run(dtype, repeats=2, verbose=False, driver="auto"):
     from dotsocp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -41,13 +41,19 @@ def run(dtype, repeats=2, verbose=False):
     for _ in range(repeats):  # first pass warms the jit caches
         out, hml, h = solve_dot(
             rho0, rho1, NT, LEVELS,
-            {"tol": TOL, "maxit": 3000},
+            {"tol": TOL, "maxit": 3000, "driver": driver},
             "inPALM", dtype=dtype, verbose=verbose,
         )
         t = out["total_time"]
         if best is None or t < best:
             best, info = t, out
     return best, info
+
+
+def _warm_marker():
+    from dotsocp_tpu.utils.cache import enable_compilation_cache
+
+    return os.path.join(enable_compilation_cache(), "bench_device_warm")
 
 
 def main():
@@ -67,7 +73,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    t, out = run(jnp.float32)
+    # The device-resident driver is ~20x faster per check but its
+    # while-loop graph takes ~6 min/level to compile through the axon
+    # remote compiler (one-time; cached). Use it once the cache is warm
+    # (marker written by a successful device run / prewarm), else the
+    # fused host driver. Override with DOTSOCP_BENCH_DRIVER.
+    marker = _warm_marker()
+    driver = os.environ.get(
+        "DOTSOCP_BENCH_DRIVER",
+        "device" if os.path.exists(marker) else "host",
+    )
+    t, out = run(jnp.float32, driver=driver)
+    if driver == "device":
+        with open(marker, "w") as f:
+            f.write("ok\n")
     iters = sum(l["iters"] for l in out["levels"])
     result = {
         "metric": "dot2d_dotmark_129x129x33_tol1e-4_3level_inpalm",
@@ -76,6 +95,7 @@ def main():
         "vs_baseline": round(BASELINE_CPU_SECONDS / t, 2),
         "iters": iters,
         "mass_ok": bool(out["mass_ok"]),
+        "driver": driver,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

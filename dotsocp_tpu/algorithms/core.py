@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.geometry import Geometry
 from ..ops.staggered import Staggered
@@ -34,6 +35,34 @@ from ..ops.grad import grad, grad_T
 from ..ops.cone import bfd, bfd_T, proj_soc, oper_q_diag
 from ..ops.poisson import DctPoisson, make_dct_poisson
 from ..utils.norms import norm_l2
+
+
+# scalar fields packed into one transfer vector (a device_get of a dict
+# fetches each leaf separately — ~25 ms each over the tunneled TPU)
+PACK_SCALARS = [
+    "priVal", "dualVal", "pdGap", "normPhi", "normQ", "normZ",
+    "normAlpha", "normBeta", "normAphi", "norm_c_state", "cScale",
+    "dScale", "sigma",
+]
+
+
+def pack_kkt(res: dict) -> jax.Array:
+    parts = [res["kkt_org"], res["kkt"]]
+    parts.append(jnp.stack([res[k].astype(res["kkt_org"].dtype)
+                            for k in PACK_SCALARS]))
+    if "kkt_sgs_blocks" in res:
+        parts.append(res["kkt_sgs_blocks"][None].astype(res["kkt_org"].dtype))
+    return jnp.concatenate(parts)
+
+
+def unpack_kkt(vec) -> dict:
+    vec = np.asarray(vec)
+    out = {"kkt_org": vec[:7], "kkt": vec[7:12]}
+    for i, k in enumerate(PACK_SCALARS):
+        out[k] = vec[12 + i]
+    if vec.shape[0] > 12 + len(PACK_SCALARS):
+        out["kkt_sgs_blocks"] = vec[12 + len(PACK_SCALARS)]
+    return out
 
 
 class SolverState(NamedTuple):
@@ -120,10 +149,10 @@ class Kernels:
 
         @partial(jax.jit, donate_argnums=0)
         def run_segment_check(s: SolverState, k):
-            """Segment + KKT battery in one dispatch (halves the ~25ms
-            host round-trips per check on the tunneled TPU)."""
+            """Segment + KKT battery in one dispatch, result packed into a
+            single vector (one transfer instead of ~20 over the tunnel)."""
             s = jax.lax.fori_loop(0, k, lambda _, st: step(st), s)
-            return s, self._kkt(s)
+            return s, pack_kkt(self._kkt(s))
 
         @jax.jit
         def run_one(s: SolverState) -> SolverState:

@@ -298,8 +298,11 @@ class DeviceDriver:
                 pass  # stale checkpoint from another level/config: ignore
         t0 = time.monotonic()
         chunks = 0
+        # (iteration, elapsed) at chunk boundaries, for history timestamps
+        time_marks = [(0, 0.0)]
         while True:
             it = int(jax.device_get(ls.it))
+            time_marks.append((it, time.monotonic() - t0))
             if it >= opts.maxit or bool(jax.device_get(ls.done)):
                 break
             if time.monotonic() - t0 > opts.time_limit:
@@ -317,13 +320,16 @@ class DeviceDriver:
                     {"iters": int(jax.device_get(ls.it)), "name": self.name},
                 )
 
-        # unpack history
+        # unpack history; per-check times interpolated from chunk boundaries
         hist_n = int(jax.device_get(ls.hist_n))
         hist_rows = np.asarray(jax.device_get(ls.hist[:hist_n]))
         elapsed = time.monotonic() - t0
+        marks = np.array(time_marks)
         hist = RunHistory(method=self.name)
         for r in hist_rows:
-            hist.append(r[:7].astype(np.float64), elapsed, int(r[8]), float(r[7]))
+            it_r = int(r[8])
+            t_r = float(np.interp(it_r, marks[:, 0], marks[:, 1]))
+            hist.append(r[:7].astype(np.float64), t_r, it_r, float(r[7]))
 
         var = self.k.finalize(ls.s, var)
         var["name"] = self.name

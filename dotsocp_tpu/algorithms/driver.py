@@ -288,7 +288,9 @@ class SegmentSolver:
                 self._it += steps
                 it = self._it
                 self.pre_kkt(state)
-                res = jax.device_get(res_dev)
+                from .core import unpack_kkt
+
+                res = unpack_kkt(jax.device_get(res_dev))
             else:
                 state = self._run_segment(state, steps)
                 it = self._it

@@ -325,15 +325,25 @@ def solve_dot(
         hists.append(hist)
 
         recover_org_var(lv, out)
-        level_reports.append(
-            {
-                "level": lev + 1,
-                "geom": lv.geom,
-                "iters": out["iters"],
-                "time": out["solve_time"],
-                "method": solver.name,
-            }
-        )
+        report = {
+            "level": lev + 1,
+            "geom": lv.geom,
+            "iters": out["iters"],
+            "time": out["solve_time"],
+            "method": solver.name,
+        }
+        if opts.get("profile") and hasattr(solver.k, "poisson"):
+            # per-phase timing + roofline (the record_time equivalent,
+            # ``solver_socp_inPALM.m:339-341``); run on the level's state
+            from ..utils.profiling import profile_phases
+
+            try:
+                report["phases"] = profile_phases(
+                    solver.k, solver.k.prep(lv.as_dict(), 1.0), iters=20
+                )
+            except Exception as e:  # profiling is best-effort
+                report["phases_error"] = str(e)
+        level_reports.append(report)
         if verbose:
             print(
                 f"Completed level {lev + 1}/{level_n} "
