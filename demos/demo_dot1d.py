@@ -24,7 +24,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "overrides JAX_PLATFORMS, so use this flag)")
-    ap.add_argument("--f64", action="store_true", help="run in float64")
+    ap.add_argument("--f64", action="store_true", default=True,
+                    help="run in float64 (default: the reference 1D tol of "
+                         "1e-5 is below float32 reach)")
+    ap.add_argument("--f32", dest="f64", action="store_false")
     ap.add_argument("--plot", default=None, help="save evolution plot to path")
     args = ap.parse_args()
 

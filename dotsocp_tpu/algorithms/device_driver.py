@@ -38,6 +38,8 @@ from .driver import (
 # cadence thresholds (``solver_socp_inPALM.m:361-379``)
 _CADENCE_EDGES = jnp.array([20, 50, 100, 200, 500], jnp.int32)
 _CADENCE_GAPS = jnp.array([3, 6, 10, 15, 25, 40], jnp.int32)
+# sGS cadence (``solver_socp_sGSinPALM.m:431-456``), applied on it/scale
+_CADENCE_GAPS_SGS = jnp.array([5, 10, 20, 35, 50, 100], jnp.int32)
 
 _RULE_XI = jnp.array([r[0] for r in UPDATE_RULE], jnp.float32)
 _RULE_F = jnp.array([r[1] for r in UPDATE_RULE], jnp.float32)
@@ -46,6 +48,14 @@ _RULE_F = jnp.array([r[1] for r in UPDATE_RULE], jnp.float32)
 def _cadence_gap(it):
     idx = jnp.sum(it >= _CADENCE_EDGES)
     return _CADENCE_GAPS[idx]
+
+
+def _cadence_check_sgs(it, last, scale: float):
+    """IfAdjustSigma of the sGS variants with the n^(1/3)/33 slowdown."""
+    it_s = it.astype(jnp.float32) / scale
+    passed = (it - last).astype(jnp.float32) / scale
+    idx = jnp.sum(it_s >= _CADENCE_EDGES.astype(jnp.float32))
+    return passed >= _CADENCE_GAPS_SGS[idx].astype(jnp.float32)
 
 
 def _table_factor(xi):

@@ -209,6 +209,11 @@ def solve_dot(
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if dtype == jnp.float32 and float(opts.get("tol", 1e-4)) < 5e-5 and verbose:
+        print(
+            "WARNING: float32 stalls around KKT ~1e-4; tolerances below "
+            "5e-5 need dtype=jnp.float64 (enable jax x64)."
+        )
 
     sgs_method = _is_sgs(method)
     tol = float(opts.get("tol", 1e-4))
