@@ -94,6 +94,7 @@ class LevelConfig:
     weighted: bool = False
     check_prim_dual_feas: bool = True
     dtype: object = jnp.float32
+    use_pallas: bool = False
 
 
 class Kernels:

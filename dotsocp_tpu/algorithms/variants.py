@@ -339,7 +339,12 @@ class AccSgsADMMKernels(AccADMMKernels):
 
     def __init__(self, cfg: LevelConfig, weight=None, restart: int = 100,
                  rho: float = 2.0):
-        self.sgs_op = make_sgs(cfg.geom, D=cfg.D, eps=0.0, dtype=cfg.dtype)
+        if cfg.use_pallas:
+            from ..ops.pallas_kernels import make_sgs_pallas
+
+            self.sgs_op = make_sgs_pallas(cfg.geom, D=cfg.D, dtype=cfg.dtype)
+        else:
+            self.sgs_op = make_sgs(cfg.geom, D=cfg.D, eps=0.0, dtype=cfg.dtype)
         self.last_aux = {}
         super().__init__(cfg, weight, restart=restart, rho=rho)
 
@@ -456,7 +461,12 @@ class SgsKernels(Kernels):
     sgs_its = 1
 
     def __init__(self, cfg: LevelConfig, weight=None):
-        self.sgs = make_sgs(cfg.geom, D=cfg.D, eps=0.0, dtype=cfg.dtype)
+        if cfg.use_pallas:
+            from ..ops.pallas_kernels import make_sgs_pallas
+
+            self.sgs = make_sgs_pallas(cfg.geom, D=cfg.D, dtype=cfg.dtype)
+        else:
+            self.sgs = make_sgs(cfg.geom, D=cfg.D, eps=0.0, dtype=cfg.dtype)
         self.last_aux = {}
         super().__init__(cfg, weight)
 

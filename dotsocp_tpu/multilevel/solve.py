@@ -75,7 +75,7 @@ def _is_sgs(method: str) -> bool:
 
 def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                   driver: str = "auto", checkpoint_path=None,
-                  device_kw=None):
+                  device_kw=None, use_pallas: bool = False):
     """driver: 'device' runs the whole level loop inside one jitted
     while_loop (one host round-trip per ~600 iterations — the TPU-native
     fast path); 'host' uses the readable host-orchestrated driver (needed
@@ -90,6 +90,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         weighted=weighted,
         check_prim_dual_feas=o.check_prim_dual_feas,
         dtype=dtype,
+        use_pallas=use_pallas,
     )
     w = lv.weight
     use_device = driver == "device" or (
@@ -324,7 +325,8 @@ def solve_dot(
         solver = _build_solver(lev_method, lv, o, dtype,
                                 driver=str(opts.get("driver", "auto")),
                                 checkpoint_path=ckpt_path,
-                                device_kw=device_kw)
+                                device_kw=device_kw,
+                                use_pallas=bool(opts.get("use_pallas", False)))
         hist, out = solver.solve(lv.as_dict())
         hist["method"] = solver.name
         hists.append(hist)
