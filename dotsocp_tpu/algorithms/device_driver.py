@@ -17,7 +17,6 @@ history that is naturally host-side).
 """
 from __future__ import annotations
 
-import math
 import os
 import time
 from functools import partial
@@ -158,7 +157,6 @@ class DeviceDriver:
 
             def apply(ls):
                 base = self._base(ls.s)
-                n = jax.device_put  # noqa: F841 (readability)
                 norms = k._norms(base)
                 norm_phis = jnp.maximum(
                     jnp.maximum(norms["normPhi"], norms["normQ"]), norms["normZ"]

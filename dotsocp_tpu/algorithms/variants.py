@@ -428,7 +428,6 @@ class AccSgsADMMKernels(AccADMMKernels):
 
         self.with_feas = False
         self.run_segment = run_segment
-        base_kkt = self.kkt
 
         def kkt_with_sgs(e: AccState):
             out = self._kkt(e.s)
