@@ -198,6 +198,7 @@ class SegmentSolver:
         self.opts = opts
         self.rule = UPDATE_RULE_SGS if self.sgs else UPDATE_RULE
         self.rescale_check_every = 100
+        self._kkt_packed = None
 
     # -- hooks -----------------------------------------------------------
     def on_sigma_change(self, state, factor):
@@ -295,7 +296,16 @@ class SegmentSolver:
                 state = self._run_segment(state, steps)
                 it = self._it
                 self.pre_kkt(state)
-                res = jax.device_get(k.kkt(state))
+                # pack the KKT dict into one vector on device: a device_get
+                # of ~20 separate leaves costs a round-trip each over the
+                # tunneled TPU
+                if self._kkt_packed is None:
+                    from .core import pack_kkt
+
+                    self._kkt_packed = jax.jit(lambda st: pack_kkt(k.kkt(st)))
+                from .core import unpack_kkt
+
+                res = unpack_kkt(jax.device_get(self._kkt_packed(state)))
             elapsed = time.monotonic() - t0
 
             kkt_org = res["kkt_org"]

@@ -131,7 +131,16 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                                    **(device_kw or {}))
         return AccADMMSolver(k, o)
     if method == "sGS-inPALM":
-        return SgsInPALMSolver(SgsKernels(cfg, w), o)
+        k = SgsKernels(cfg, w)
+        if driver == "device":
+            # device loop available on request (auto keeps the host
+            # driver: its win-count strategy is the reference-readable
+            # implementation and the parity oracle)
+            from ..algorithms.device_sgs import SgsDeviceDriver
+
+            return SgsDeviceDriver(k, o, checkpoint_path=checkpoint_path,
+                                   **(device_kw or {}))
+        return SgsInPALMSolver(k, o)
     if method == "acc-sGS-ADMM":
         return AccSgsADMMSolver(
             AccSgsADMMKernels(cfg, w, restart=o.restart, rho=o.rho), o
