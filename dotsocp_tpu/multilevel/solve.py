@@ -148,24 +148,45 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     raise ValueError(f"unknown method {method!r}")
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(0, 3))
+def _jump_arrays(geom_f, phi_c, beta_c, weighted: bool, weight_f):
+    """Jitted prolongation + warm start (one dispatch instead of ~40 eager
+    ops, which matters on the high-latency tunneled TPU)."""
+    phi_f = prolong_phi(phi_c)
+    beta_f = prolong_z_like(beta_c)
+    q = grad(geom_f, phi_f)
+    alpha = bfd_T(geom_f, -beta_f, 1.0)
+    if weighted:
+        q = q / weight_f
+        alpha = alpha / weight_f
+    return phi_f, beta_f, q, alpha
+
+
 def _jump_next_level(lv: LevelVar, rho0_f, rho1_f, nt_f: int, dtype,
                      weight_f: Optional[Staggered] = None) -> LevelVar:
     """Prolongate (phi, beta), rebuild the fine model, and warm-start
     q = A phi, alpha = -(BF)^T beta (``jump_nextLevel.m``; weighted variant
     divides both by the fine weight)."""
-    phi_f = prolong_phi(lv.phi)
-    beta_f = prolong_z_like(lv.beta)
     lv_f = initialize(rho0_f, rho1_f, nt_f, dtype=dtype, weight=weight_f)
-    lv_f.phi = phi_f.astype(dtype)
-    lv_f.beta = beta_f.astype(dtype)
-    q = grad(lv_f.geom, lv_f.phi)
-    alpha = bfd_T(lv_f.geom, -lv_f.beta, 1.0)
-    if weight_f is not None:
-        q = q / weight_f
-        alpha = alpha / weight_f
+    weighted = weight_f is not None
+    w = weight_f if weighted else stg_ones_like_placeholder(lv_f.geom, dtype)
+    phi_f, beta_f, q, alpha = _jump_arrays(
+        lv_f.geom, lv.phi.astype(dtype), lv.beta.astype(dtype), weighted, w
+    )
+    lv_f.phi = phi_f
+    lv_f.beta = beta_f
     lv_f.q = q
     lv_f.alpha = alpha
     return lv_f
+
+
+def stg_ones_like_placeholder(geom, dtype):
+    from ..ops import staggered as stg
+
+    return stg.ones(geom, dtype)
 
 
 def _cat_hist(hists):
@@ -219,6 +240,10 @@ def solve_dot(
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if opts.get("debug_nans"):
+        # NaN tripwire (the in-place-MEX analogue of sanitizers the
+        # reference lacks; SURVEY.md section 5)
+        jax.config.update("jax_debug_nans", True)
     if dtype == jnp.float32 and float(opts.get("tol", 1e-4)) < 5e-5 and verbose:
         print(
             "WARNING: float32 stalls around KKT ~1e-4; tolerances below "
