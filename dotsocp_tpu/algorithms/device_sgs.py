@@ -75,6 +75,13 @@ class SgsDeviceDriver(DeviceDriver):
         self._scale = max(1.0, kernels.cfg.geom.n_centered ** (1.0 / 3.0) / 33.0)
         super().__init__(kernels, opts, chunk_iters=chunk_iters, **kw)
 
+    # -- hooks (overridden by the acc-sGS driver) ------------------------
+    def _kkt_full(self, s_base):
+        return self.k._kkt(s_base)
+
+    def _post_body(self, s):
+        return s
+
     # -- instrumented step ----------------------------------------------
     def _step_with_resi(self, s):
         s2, aux = self.k._step_instrumented(s, False)
@@ -105,7 +112,7 @@ class SgsDeviceDriver(DeviceDriver):
             periodic = (ls.stage >= 3) & (it1 % self.rescale_check_every == 0)
 
             def apply(ls):
-                norms = k._norms(ls.s)
+                norms = k._norms(self._base(ls.s))
                 norm_phis = jnp.maximum(
                     jnp.maximum(norms["normPhi"], norms["normQ"]), norms["normZ"]
                 )
@@ -117,7 +124,7 @@ class SgsDeviceDriver(DeviceDriver):
 
                 def do(ls):
                     return ls._replace(
-                        s=k._rescale(ls.s, norm_phis, norm_alps),
+                        s=self._rescale_apply(ls.s, norm_phis, norm_alps),
                         stage=ls.stage + 1,
                     )
 
@@ -142,7 +149,7 @@ class SgsDeviceDriver(DeviceDriver):
             return mean, prim, dual
 
         def check_block(ls: SgsLoopState) -> SgsLoopState:
-            res = k._kkt(ls.s)
+            res = self._kkt_full(self._base(ls.s))
             kkt_org = res["kkt_org"]
             kkt5 = res["kkt"]
             pd_gap = res["pdGap"]
@@ -204,7 +211,7 @@ class SgsDeviceDriver(DeviceDriver):
 
             def sigma_update(carry):
                 s, last = carry
-                sigma = s.sigma
+                sigma = self._base(s).sigma
                 warm = jnp.where(
                     mean < 1,
                     1.0 / self.INITIAL_SIGMA_SCALE,
@@ -220,7 +227,7 @@ class SgsDeviceDriver(DeviceDriver):
                 factor = jnp.where(stable, table, warm)
                 s = jax.lax.cond(
                     factor != 1.0,
-                    lambda s: k._sigma_mult(s, factor),
+                    lambda s: self._sigma_apply(s, factor),
                     lambda s: s,
                     s,
                 )
@@ -256,7 +263,7 @@ class SgsDeviceDriver(DeviceDriver):
             (``solver_socp_sGSinPALM.m:373-393``)."""
 
             def superior_entry(ls):
-                feas = k._feas_pair(ls.s)
+                feas = k._feas_pair(self._base(ls.s))
                 denom1, denom3, k1, k2, k5 = (
                     ls.stale[0], ls.stale[1], ls.stale[2], ls.stale[3],
                     ls.stale[4],
@@ -289,7 +296,9 @@ class SgsDeviceDriver(DeviceDriver):
             check = _cadence_check_sgs(ls.it, ls.last_sigma_it, scale) | (
                 ls.it >= maxit
             )
-            return jax.lax.cond(check, check_block, between_update, ls)
+            ls = jax.lax.cond(check, check_block, between_update, ls)
+            # acc-sGS: Halpern anchor averaging after the (possible) check
+            return ls._replace(s=self._post_body(ls.s))
 
         def chunk(ls: SgsLoopState, it_end) -> SgsLoopState:
             def cond(ls):
@@ -297,7 +306,9 @@ class SgsDeviceDriver(DeviceDriver):
 
             return jax.lax.while_loop(cond, body, ls)
 
-        return partial(jax.jit, donate_argnums=0)(chunk)
+        if self.DONATE:
+            return partial(jax.jit, donate_argnums=0)(chunk)
+        return jax.jit(chunk)
 
     def init_loop_state(self, state) -> SgsLoopState:
         base = super().init_loop_state(state)
@@ -318,3 +329,36 @@ class SgsDeviceDriver(DeviceDriver):
             stale=jnp.zeros((5,), jnp.float32),
             resi_sgs=jnp.asarray(jnp.inf, jnp.float32),
         )
+
+
+class AccSgsDeviceDriver(SgsDeviceDriver):
+    """acc-sGS-ADMM on device: the sGS sigma machinery on the base iterate
+    plus per-iteration Halpern averaging with anchor restarts on sigma
+    changes and rescales (``solver_socp_accsGSADMM.m``)."""
+
+    name = "Accelerated sGS based ADMM (device loop)"
+    DONATE = False  # anchors alias the iterate after prep/restart
+
+    def __init__(self, kernels, opts: SolveOptions, chunk_iters: int = 600,
+                 **kw):
+        super().__init__(kernels, opts, chunk_iters=chunk_iters, **kw)
+        self.rescale_check_every = 200
+
+    def _base(self, e):
+        return e.s
+
+    def _kkt_full(self, s_base):
+        return self.k._kkt_sgs(s_base)
+
+    def _step_with_resi(self, e):
+        s2, aux = self.k._step_instrumented(e.s, False)
+        return e._replace(s=s2), aux["resi_sgs"]
+
+    def _post_body(self, e):
+        return self.k._halpern(e)
+
+    def _sigma_apply(self, e, factor):
+        return self.k._sigma_mult_acc(e, factor)
+
+    def _rescale_apply(self, e, d2, c2):
+        return self.k._rescale_acc(e, d2, c2)

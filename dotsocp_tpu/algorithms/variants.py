@@ -428,20 +428,18 @@ class AccSgsADMMKernels(AccADMMKernels):
 
         self.with_feas = False
         self.run_segment = run_segment
+        self.kkt = jax.jit(lambda e: self._kkt_sgs(e.s))
 
-        def kkt_with_sgs(e: AccState):
-            out = self._kkt(e.s)
-            h = self.geom.h
-            tmp_q = self.cfg.D * grad(self.geom, e.s.phi)
-            resi_alpha = tmp_q - self.weight * e.s.q
-            t1 = norm_l2(self.cfg.D * grad_T(self.geom, resi_alpha), h)
-            dual1 = norm_l2(
-                self.cfg.D * grad_T(self.geom, e.s.alpha) - e.s.c, h
-            )
-            out["kkt_sgs_blocks"] = jnp.sqrt(t1 * t1 + dual1 * dual1)
-            return out
-
-        self.kkt = jax.jit(kkt_with_sgs)
+    def _kkt_sgs(self, s: SolverState):
+        """KKT battery + the sGS-block error (``accsGSADMM.m:358``)."""
+        out = self._kkt(s)
+        h = self.geom.h
+        tmp_q = self.cfg.D * grad(self.geom, s.phi)
+        resi_alpha = tmp_q - self.weight * s.q
+        t1 = norm_l2(self.cfg.D * grad_T(self.geom, resi_alpha), h)
+        dual1 = norm_l2(self.cfg.D * grad_T(self.geom, s.alpha) - s.c, h)
+        out["kkt_sgs_blocks"] = jnp.sqrt(t1 * t1 + dual1 * dual1)
+        return out
 
     def prep(self, var, sigma) -> AccState:
         e = super().prep(var, sigma)

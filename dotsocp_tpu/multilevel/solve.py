@@ -142,9 +142,13 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                                    **(device_kw or {}))
         return SgsInPALMSolver(k, o)
     if method == "acc-sGS-ADMM":
-        return AccSgsADMMSolver(
-            AccSgsADMMKernels(cfg, w, restart=o.restart, rho=o.rho), o
-        )
+        k = AccSgsADMMKernels(cfg, w, restart=o.restart, rho=o.rho)
+        if driver == "device":
+            from ..algorithms.device_sgs import AccSgsDeviceDriver
+
+            return AccSgsDeviceDriver(k, o, checkpoint_path=checkpoint_path,
+                                      **(device_kw or {}))
+        return AccSgsADMMSolver(k, o)
     raise ValueError(f"unknown method {method!r}")
 
 

@@ -48,6 +48,22 @@ def test_sgs_device_matches_host():
     np.testing.assert_allclose(hh["kkt"], hd["kkt"], rtol=1e-4, atol=1e-12)
 
 
+def test_acc_sgs_device_matches_host():
+    rho0, rho1 = get_example_2d("example2", 33, 33)
+    outs = {}
+    for drv in ("host", "device"):
+        out, _, h = solve_dot(
+            rho0, rho1, nt=9, level_n=1,
+            opts={"tol": 1e-4, "maxit": 6000, "driver": drv},
+            method="acc-sGS-ADMM", verbose=False,
+        )
+        outs[drv] = (out, h)
+    (oh, hh), (od, hd) = outs["host"], outs["device"]
+    assert oh["levels"][0]["iters"] == od["levels"][0]["iters"]
+    np.testing.assert_array_equal(hh["iter"], hd["iter"])
+    np.testing.assert_allclose(hh["kkt"], hd["kkt"], rtol=1e-4, atol=1e-12)
+
+
 def test_device_multilevel():
     rho0, rho1 = get_example_2d("example1", 33, 33)
     out, _, h = solve_dot(
