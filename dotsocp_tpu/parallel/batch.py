@@ -210,81 +210,125 @@ class BatchedDeviceDriver:
 
 def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
                 method: str = "inPALM", dtype=jnp.float32,
-                mesh=None, verbose: bool = True):
-    """Single-level batched solve of B same-shaped instances.
+                mesh=None, level_n: int = 1, verbose: bool = True):
+    """Multilevel batched solve of B same-shaped instances.
 
     rho0s/rho1s: (B, *space). Returns dict with batched rho, per-instance
     iterations and final KKT residuals. When ``mesh`` is given, the state
     is sharded (batch + spatial axes) before the loop so the whole fleet
-    runs SPMD across devices.
+    runs SPMD across devices. Deviations from the single-instance
+    multilevel driver (documented): rescales align to the check cadence
+    and the E2 inter-level feedback uses the batch-first instance.
     """
     from ..algorithms.variants import InPALMKernels, PALMKernels
+    from ..multilevel.level import recover_org_var, recover_rho_e
+    from ..multilevel.transfer import restrict_density
+    from ..multilevel.solve import _jump_next_level
 
     opts = dict(opts or {})
     rho0s = jnp.asarray(rho0s, dtype)
     rho1s = jnp.asarray(rho1s, dtype)
     B = rho0s.shape[0]
 
-    # per-instance level setup (host loop: cheap, once)
-    states = []
-    lvs = []
-    cfg = None
+    tol = float(opts.get("tol", 1e-4))
+    tol_factor = -1.0 if tol > 0.99e-3 else -0.5
+    tol_lower = 1e-5 if rho0s.ndim == 2 else 1e-4
+
+    # coarse pyramid (shared geometry; per-instance densities)
+    r0s = [rho0s]
+    r1s = [rho1s]
+    nts = [nt]
+    tols = [tol]
+    vrestrict = jax.vmap(restrict_density)
+    for _ in range(level_n - 1):
+        r0c = vrestrict(r0s[0])
+        r1c = vrestrict(r1s[0])
+        r0s.insert(0, r0c / r0c.mean(axis=tuple(range(1, r0c.ndim)), keepdims=True))
+        r1s.insert(0, r1c / r1c.mean(axis=tuple(range(1, r1c.ndim)), keepdims=True))
+        nts.insert(0, (nts[0] - 1) // 2 + 1)
+        tols.insert(0, max(tols[0] * 2.0 ** tol_factor, tol_lower))
+
+    kcls = PALMKernels if method == "PALM" else InPALMKernels
+    sigma_b = np.full(B, float(opts.get("sigma", 1.0)))
+    prev_lvs = None
+    total_time = 0.0
+    total_iters = 0
+    ls = None
     kernels = None
-    o = SolveOptions(
-        tol=float(opts.get("tol", 1e-4)),
-        maxit=int(opts.get("maxit", 3000)),
-        sigma=float(opts.get("sigma", 1.0)),
-        tau=1.9 if method in ("inPALM", "PALM") else 1.0,
-        time_limit=float(opts.get("time_limit", 3600.0)),
-        scaling=bool(opts.get("scaling", True)),
-    )
-    for b in range(B):
-        lv = initialize(np.asarray(rho0s[b]), np.asarray(rho1s[b]), nt, dtype=dtype)
-        initial_scaling(lv, scaling=o.scaling)
-        if kernels is None:
-            cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=o.tau, dtype=dtype)
-            kcls = PALMKernels if method == "PALM" else InPALMKernels
-            kernels = kcls(cfg)
-        states.append(kernels.prep(lv.as_dict(), o.sigma))
-        lvs.append(lv)
+    lvs = None
 
-    bstate = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-    if mesh is not None:
-        from .sharding import state_shardings
-
-        sh = state_shardings(mesh, batched=True)
-        bstate = jax.tree.map(
-            lambda x, s: jax.jit(lambda a: a, out_shardings=s)(x), bstate, sh
+    for lev in range(level_n):
+        o = SolveOptions(
+            tol=tols[lev],
+            maxit=int(opts.get("maxit", 3000)),
+            sigma=1.0,  # per-instance sigma applied in prep below
+            tau=1.9 if method in ("inPALM", "PALM") else 1.0,
+            time_limit=float(opts.get("time_limit", 3600.0)),
+            scaling=bool(opts.get("scaling", True)),
         )
+        states = []
+        lvs = []
+        kernels = None
+        for b in range(B):
+            if prev_lvs is None:
+                lv = initialize(np.asarray(r0s[lev][b]), np.asarray(r1s[lev][b]),
+                                nts[lev], dtype=dtype)
+            else:
+                lv = _jump_next_level(
+                    prev_lvs[b], r0s[lev][b], r1s[lev][b], nts[lev], dtype
+                )
+            initial_scaling(lv, scaling=o.scaling)
+            if kernels is None:
+                cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=o.tau,
+                                  dtype=dtype)
+                kernels = kcls(cfg)
+            states.append(kernels.prep(lv.as_dict(), float(sigma_b[b])))
+            lvs.append(lv)
 
-    driver = BatchedDeviceDriver(kernels, o)
-    ls, elapsed = driver.solve(bstate)
+        bstate = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        if mesh is not None:
+            from .sharding import state_shardings
 
-    # recover per-instance densities
+            sh = state_shardings(mesh, batched=True)
+            bstate = jax.tree.map(
+                lambda x, s: jax.jit(lambda a: a, out_shardings=s)(x), bstate, sh
+            )
+
+        driver = BatchedDeviceDriver(kernels, o)
+        ls, elapsed = driver.solve(bstate)
+        total_time += elapsed
+        total_iters += int(jax.device_get(ls.it))
+
+        # write back per-instance results and prepare the next level
+        out_states = ls.s
+        sig = np.asarray(jax.device_get(out_states.sigma))
+        sig_scale = np.asarray(jax.device_get(out_states.sigmaScale))
+        for b in range(B):
+            st = jax.tree.map(lambda x: x[b], out_states)
+            var = kernels.finalize(st, lvs[b].as_dict())
+            recover_org_var(lvs[b], var)
+        if lev < level_n - 1:
+            sigma_out = sig / np.maximum(sig_scale, 1e-300)
+            sigma_b = 10.0 ** (np.log10(np.maximum(sigma_b * sigma_out, 1e-300)) / 2.0)
+            prev_lvs = lvs
+
     kkt = np.asarray(jax.device_get(ls.kkt_last))
     done = np.asarray(jax.device_get(ls.done))
     done_it = np.asarray(jax.device_get(ls.done_it))
-    out_states = ls.s
     rhos = []
     for b in range(B):
-        lv = lvs[b]
-        st = jax.tree.map(lambda x: x[b], out_states)
-        var = kernels.finalize(st, lv.as_dict())
-        from ..multilevel.level import recover_org_var, recover_rho_e
-
-        recover_org_var(lv, var)
-        rho, _ = recover_rho_e(lv)
+        rho, _ = recover_rho_e(lvs[b])
         rhos.append(rho)
     if verbose:
         print(
-            f"batch solve: B={B}, all_done={bool(done.all())}, "
-            f"iters={int(jax.device_get(ls.it))}, {elapsed:.2f}s"
+            f"batch solve: B={B}, levels={level_n}, all_done={bool(done.all())}, "
+            f"iters={total_iters}, {total_time:.2f}s"
         )
     return {
         "rho": jnp.stack(rhos),
         "done": done,
         "done_it": done_it,
         "kkt": kkt,
-        "iters": int(jax.device_get(ls.it)),
-        "time": elapsed,
+        "iters": total_iters,
+        "time": total_time,
     }

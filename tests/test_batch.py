@@ -31,3 +31,14 @@ def test_batch_converges_and_matches_single():
     # batched mode aligns rescales to the check cadence (documented
     # deviation) -> same solution within solver tolerance
     assert rel < 1e-2, rel
+
+
+def test_batch_multilevel():
+    a, b = get_example_2d("example2", 33, 33)
+    c, d = get_example_2d("example1", 33, 33)
+    out = solve_batch(
+        np.stack([a, c]), np.stack([b, d]), nt=9, level_n=3,
+        opts={"tol": 1e-4, "maxit": 3000}, dtype=jnp.float64, verbose=False,
+    )
+    assert out["done"].all()
+    assert (out["kkt"][:, [0, 2, 5, 6]].max(axis=1) < 1e-4).all()
