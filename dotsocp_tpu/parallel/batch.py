@@ -287,11 +287,18 @@ def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
 
         bstate = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         if mesh is not None:
-            from .sharding import state_shardings
+            # boundary sharding over the batch axis only (the odd 2^k+1
+            # spatial dims cannot shard at the jit boundary; spatial
+            # decomposition uses in-jit constraints, see parallel/sharding)
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sh = state_shardings(mesh, batched=True)
+            def sh_batch(x):
+                spec = P("batch", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
             bstate = jax.tree.map(
-                lambda x, s: jax.jit(lambda a: a, out_shardings=s)(x), bstate, sh
+                lambda x: sh_batch(x) if x.ndim >= 1 and x.shape[0] == B else x,
+                bstate,
             )
 
         driver = BatchedDeviceDriver(kernels, o)
