@@ -352,34 +352,49 @@ class Kernels:
         )
 
     # -- lifecycle -------------------------------------------------------
-    def prep(self, var, sigma: float) -> SolverState:
-        """Build the iteration state from level variables (already through
-        InitialScaling): divide alpha/beta/c by sigma and cache z2."""
-        dtype = self.cfg.dtype
-
-        def _copy(x):
-            # defensive copy: run_segment donates its input buffers, and the
-            # caller's arrays must stay valid for the multilevel bookkeeping
-            return jax.tree.map(lambda a: jnp.asarray(a, dtype).copy(), x)
-
-        sig = jnp.asarray(sigma, dtype)
-        q = _copy(var["q"])
-        d_scale = jnp.asarray(var["dScale"], dtype)
+    def _prep_impl(self, phi, q, z, alpha, beta, c, sigma, c_scale, d_scale,
+                   norm_c, norm_d):
+        """Jitted state assembly: divide alpha/beta/c by sigma and cache z2.
+        One device dispatch instead of ~10 eager ops — the level plumbing
+        stays on the host (see initialize) and lands here in one hop.
+        Outputs are fresh buffers (no donation), so the caller's arrays
+        survive the solver's donated segments."""
         z2 = bfd(self.geom, q, self.scale_bf, self.cfg.E / d_scale)
         return SolverState(
-            phi=_copy(var["phi"]),
-            q=q,
-            z=_copy(var["z"]),
-            alpha=var["alpha"].astype(dtype) / sig,
-            beta=var["beta"].astype(dtype) / sig,
+            phi=phi + 0.0,
+            q=jax.tree.map(lambda x: x + 0.0, q),
+            z=z + 0.0,
+            alpha=alpha / sigma,
+            beta=beta / sigma,
             z2=z2,
-            c=var["c"].astype(dtype) / sig,
-            sigma=sig,
-            cScale=jnp.asarray(var["cScale"], dtype),
+            c=c / sigma,
+            sigma=sigma,
+            cScale=c_scale,
             dScale=d_scale,
-            norm_c=jnp.asarray(var["norm_c"], dtype),
-            norm_d=jnp.asarray(var["norm_d"], dtype),
-            sigmaScale=jnp.asarray(1.0, dtype),
+            norm_c=norm_c,
+            norm_d=norm_d,
+            sigmaScale=jnp.ones_like(sigma),
+        )
+
+    def prep(self, var, sigma: float) -> SolverState:
+        """Build the iteration state from level variables (already through
+        InitialScaling)."""
+        dtype = self.cfg.dtype
+        if not hasattr(self, "_prep_jit"):
+            self._prep_jit = jax.jit(self._prep_impl)
+        npdtype = np.dtype(jnp.dtype(dtype).name)
+
+        def _conv(a):
+            if isinstance(a, np.ndarray):
+                return np.asarray(a, npdtype)  # host cast; jit uploads it
+            return a if a.dtype == dtype else a.astype(dtype)
+
+        to = lambda x: jax.tree.map(_conv, x)
+        sc = lambda x: np.asarray(float(jax.device_get(x)), npdtype)
+        return self._prep_jit(
+            to(var["phi"]), to(var["q"]), to(var["z"]), to(var["alpha"]),
+            to(var["beta"]), to(var["c"]), sc(sigma), sc(var["cScale"]),
+            sc(var["dScale"]), sc(var["norm_c"]), sc(var["norm_d"]),
         )
 
     def finalize(self, s: SolverState, var) -> dict:

@@ -71,9 +71,15 @@ class PALMKernels(Kernels):
     def prep(self, var, sigma):
         s = super().prep(var, sigma)
         # initial z = BFd(A phi) (``solver_socp_PALM.m:136-138``)
-        tmp_q = self.cfg.D * grad(self.geom, s.phi)
-        z = bfd(self.geom, tmp_q, self.scale_bf, self.cfg.E / s.dScale)
-        return s._replace(z=z)
+        if not hasattr(self, "_palm_z_jit"):
+            def _zinit(s):
+                tmp_q = self.cfg.D * grad(self.geom, s.phi)
+                z = bfd(self.geom, tmp_q, self.scale_bf,
+                        self.cfg.E / s.dScale)
+                return s._replace(z=z)
+
+            self._palm_z_jit = jax.jit(_zinit)
+        return self._palm_z_jit(s)
 
     def _rescale(self, s, d_scale2, c_scale2):
         cfg = self.cfg
@@ -592,4 +598,8 @@ class SgsKernels(Kernels):
     def prep(self, var, sigma):
         s = super().prep(var, sigma)
         # de-mean phi once (``solver_socp_sGSinPALM.m:144``)
-        return s._replace(phi=s.phi - jnp.mean(s.phi))
+        if not hasattr(self, "_demean_jit"):
+            self._demean_jit = jax.jit(
+                lambda s: s._replace(phi=s.phi - jnp.mean(s.phi))
+            )
+        return self._demean_jit(s)

@@ -63,35 +63,52 @@ class LevelVar:
 def initialize(rho0, rho1, nt: int, dtype=jnp.float64,
                weight: Optional[Staggered] = None) -> LevelVar:
     """Build model (c) and initial variables (``initialize.m``):
-    phi = sum_a x_a^2 / 2 replicated over t; z, beta, q, alpha zero."""
-    rho0 = jnp.asarray(rho0, dtype)
-    rho1 = jnp.asarray(rho1, dtype)
+    phi = sum_a x_a^2 / 2 replicated over t; z, beta, q, alpha zero.
+
+    Built in host numpy: on the tunneled TPU every eager device op costs a
+    ~25 ms dispatch, so the level plumbing stays on host and the solver's
+    jitted prep moves everything to the device in one call."""
+    npdtype = np.dtype(jnp.dtype(dtype).name)
+    rho0 = np.asarray(rho0, npdtype)
+    rho1 = np.asarray(rho1, npdtype)
     space = rho0.shape
     geom = Geometry(nt=nt, space=space)
 
-    c = jnp.zeros(geom.phi_shape, dtype)
-    c = c.at[0].set(-rho0 / geom.ht)
-    c = c.at[-1].set(rho1 / geom.ht)
+    c = np.zeros(geom.phi_shape, npdtype)
+    c[0] = -rho0 / geom.ht
+    c[-1] = rho1 / geom.ht
 
     # phi0 = (1/2) * sum of squared coordinates (``initialize.m:48-50``)
-    phi_sp = jnp.zeros(space, dtype)
+    phi_sp = np.zeros(space, npdtype)
     for a, n in enumerate(space):
-        x = jnp.linspace(0.0, 1.0, n, dtype=dtype)
+        x = np.linspace(0.0, 1.0, n, dtype=npdtype)
         shape = [1] * len(space)
         shape[a] = n
         phi_sp = phi_sp + 0.5 * x.reshape(shape) ** 2
-    phi = jnp.broadcast_to(phi_sp, geom.phi_shape).astype(dtype)
+    phi = np.broadcast_to(phi_sp, geom.phi_shape).astype(npdtype)
 
+    zeros_st = Staggered(
+        q0=np.zeros(geom.q0_shape, npdtype),
+        bs=tuple(
+            np.zeros(geom.b_shape(a), npdtype) for a in range(geom.ndim_space)
+        ),
+    )
+    zeros_st2 = Staggered(
+        q0=np.zeros(geom.q0_shape, npdtype),
+        bs=tuple(
+            np.zeros(geom.b_shape(a), npdtype) for a in range(geom.ndim_space)
+        ),
+    )
     return LevelVar(
         geom=geom,
         rho0=rho0,
         rho1=rho1,
         c=c,
         phi=phi,
-        q=stg.zeros(geom, dtype),
-        z=jnp.zeros(geom.z_shape, dtype),
-        alpha=stg.zeros(geom, dtype),
-        beta=jnp.zeros(geom.z_shape, dtype),
+        q=zeros_st,
+        z=np.zeros(geom.z_shape, npdtype),
+        alpha=zeros_st2,
+        beta=np.zeros(geom.z_shape, npdtype),
         weight=weight,
     )
 
@@ -122,21 +139,26 @@ def initial_scaling(lv: LevelVar, scaling: bool, last_kkt=None,
 
     lv.E2 = update_e2(prev_e2, last_kkt, weighted)
 
+    def _host_norm(c):
+        if isinstance(c, np.ndarray):
+            return math.sqrt(h) * float(np.linalg.norm(c.ravel()))
+        return float(norm_l2(c, h))
+
     if not scaling:
         lv.cScale = lv.dScale = lv.D = lv.E = 1.0
-        lv.norm_c = float(norm_l2(lv.c, h))
+        lv.norm_c = _host_norm(lv.c)
         lv.norm_d = math.sqrt(2.0)
         return
 
-    norm_c = float(norm_l2(lv.c, h)) * math.sqrt(geom.nt)
+    norm_c = _host_norm(lv.c) * math.sqrt(geom.nt)
     norm_d = math.sqrt(2.0)
 
     if weighted:
         # geometric-mean weight adjustment (``solver_wdotsocp2d.m:310-316``)
-        logs = [jnp.log10(lv.weight.q0 + 1e-10)] + [
-            jnp.log10(b + 1e-10) for b in lv.weight.bs
+        logs = [np.log10(np.asarray(lv.weight.q0) + 1e-10)] + [
+            np.log10(np.asarray(b) + 1e-10) for b in lv.weight.bs
         ]
-        total = sum(float(jnp.sum(x)) for x in logs)
+        total = sum(float(x.sum()) for x in logs)
         count = sum(x.size for x in logs)
         adjust = 10.0 ** (total / count)
         D = math.sqrt(2.0) * math.sqrt(h_mean) * adjust

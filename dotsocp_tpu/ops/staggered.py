@@ -23,27 +23,28 @@ class Staggered(NamedTuple):
     q0: jax.Array
     bs: Tuple[jax.Array, ...]
 
-    # -- arithmetic (pytree-wise) ---------------------------------------
+    # -- arithmetic (pytree-wise; operator-based so numpy leaves stay on
+    # host and jax leaves stay traced/on-device) -------------------------
     def __add__(self, other: "Staggered") -> "Staggered":
-        return jax.tree.map(jnp.add, self, other)
+        return jax.tree.map(lambda a, b: a + b, self, other)
 
     def __sub__(self, other: "Staggered") -> "Staggered":
-        return jax.tree.map(jnp.subtract, self, other)
+        return jax.tree.map(lambda a, b: a - b, self, other)
 
     def __mul__(self, other) -> "Staggered":
         if isinstance(other, Staggered):
-            return jax.tree.map(jnp.multiply, self, other)
+            return jax.tree.map(lambda a, b: a * b, self, other)
         return jax.tree.map(lambda x: x * other, self)
 
     __rmul__ = __mul__
 
     def __truediv__(self, other) -> "Staggered":
         if isinstance(other, Staggered):
-            return jax.tree.map(jnp.divide, self, other)
+            return jax.tree.map(lambda a, b: a / b, self, other)
         return jax.tree.map(lambda x: x / other, self)
 
     def __neg__(self) -> "Staggered":
-        return jax.tree.map(jnp.negative, self)
+        return jax.tree.map(lambda x: -x, self)
 
     # -- reductions ------------------------------------------------------
     def sqnorm(self) -> jax.Array:
