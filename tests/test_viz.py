@@ -1,0 +1,53 @@
+"""Viz layer smoke tests: every plotting entry point renders and saves."""
+import os
+
+import numpy as np
+
+from dotsocp_tpu.viz import plots
+
+
+def _fake_solution():
+    nt, ny, nx = 5, 17, 17
+    t = np.linspace(0, 1, nt)[:, None, None]
+    y = np.linspace(0, 1, ny)[None, :, None]
+    x = np.linspace(0, 1, nx)[None, None, :]
+    rho = np.exp(-((x - 0.3 - 0.4 * t) ** 2 + (y - 0.5) ** 2) / 0.02)
+    Ex = 0.4 * rho
+    Ey = np.zeros_like(rho)
+    return rho, Ex, Ey
+
+
+def test_all_plots_render(tmp_path):
+    rho, Ex, Ey = _fake_solution()
+    out = []
+
+    def p(name):
+        path = str(tmp_path / name)
+        out.append(path)
+        return path
+
+    plots.show_evolution_1d(rho[:, 8, :], "join", save=p("e1j.png"))
+    plots.show_evolution_1d(rho[:, 8, :], "tile", save=p("e1t.png"))
+    for mode in ("imshow", "contourf", "contour", "mesh"):
+        plots.show_evolution_2d(rho, mode, save=p(f"e2{mode}.png"))
+    mask = np.zeros(rho.shape[1:], bool)
+    mask[5:8, 5:8] = True
+    plots.show_evolution_2d(rho, "imshow", barrier_mask=mask, save=p("e2b.png"))
+    plots.show_movement_2d(rho, Ex, Ey, save=p("mv.png"))
+    kkt = np.abs(np.random.default_rng(0).standard_normal((20, 7))) * 1e-3
+    plots.show_residual_curve(kkt, names=[f"k{i}" for i in range(7)],
+                              save=p("rc.png"))
+    plots.hist_negative_density(rho - 0.1, save=p("hn.png"))
+    plots.hist_violation_q(rho[:-1], [Ex[:-1], Ey[:-1]], save=p("hv.png"))
+    exported = plots.export_evolution_2d(rho, str(tmp_path / "exp"),
+                                         times=[0.0, 1.0])
+    out.extend(exported)
+    for path in out:
+        assert os.path.exists(path) and os.path.getsize(path) > 0, path
+
+
+def test_violation_q_formula():
+    q0 = np.array([[-1.0, 0.5]])
+    bs = [np.array([[1.0, 2.0]])]
+    f = plots.violation_q(q0, bs)
+    np.testing.assert_allclose(f, [[-0.5, 2.5]])
