@@ -80,6 +80,7 @@ class LoopState(NamedTuple):
     done: jax.Array           # bool
     hist: jax.Array           # (H, 9): 7 kkt_org + pdGap + iter
     hist_n: jax.Array         # i32
+    stage3_next: jax.Array    # next periodic rescale-eval iteration (i32)
 
 
 class DeviceDriver:
@@ -117,6 +118,10 @@ class DeviceDriver:
     def _step(self, s):
         return self.k._step(s)
 
+    def _segment(self, s, k):
+        """k event-free iterations (traced k) in one fori_loop."""
+        return jax.lax.fori_loop(0, k, lambda _, st: self._step(st), s)
+
     def _post_check(self, s, sigma_changed, rescaled):
         return s
 
@@ -139,7 +144,10 @@ class DeviceDriver:
 
         def rescale_trigger(ls: LoopState):
             """Top-of-iteration rescale decision for iteration ls.it + 1
-            (``solver_socp_inPALM.m:139-153``)."""
+            (``solver_socp_inPALM.m:139-153``). The periodic (stage >= 3)
+            evaluation advances ``stage3_next`` whether or not the ratio
+            test fires, so a declined evaluation cannot recur at the same
+            loop position."""
             it1 = ls.it + 1
             t1 = (
                 (ls.stage == 1)
@@ -153,7 +161,15 @@ class DeviceDriver:
                 & (ls.rel_gap < 1e-2)
                 & (it1 >= self.SECOND_ITER)
             )
-            periodic = (ls.stage >= 3) & (it1 % self.rescale_check_every == 0)
+            periodic = (ls.stage >= 3) & (it1 == ls.stage3_next)
+            every = self.rescale_check_every
+            ls = ls._replace(
+                stage3_next=jnp.where(
+                    periodic,
+                    ls.stage3_next + every,
+                    jnp.maximum(ls.stage3_next, (ls.it // every + 1) * every),
+                )
+            )
 
             def apply(ls):
                 base = self._base(ls.s)
@@ -256,22 +272,69 @@ class DeviceDriver:
                 hist_n=hist_n,
             )
 
-        def body(ls: LoopState) -> LoopState:
-            ls = rescale_trigger(ls)
-            s = self._step(ls.s)
-            ls = ls._replace(s=s, it=ls.it + 1)
-            check = ((ls.it - ls.last_sigma_it) >= _cadence_gap(ls.it)) | (
+        def next_check_it(it, last):
+            """Closed-form next cadence point > it (device version of
+            ``driver.next_check_iter``): for each threshold region
+            [lo, hi) with gap t, the candidate is max(it+1, last+t, lo),
+            valid when < hi; the answer is the min over valid candidates.
+
+            Per-iteration lax.cond in the loop body costs ~5-10 ms on this
+            backend, so the body runs event-free fori segments between the
+            points this computes.
+            """
+            lo = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), _CADENCE_EDGES]
+            )
+            hi = jnp.concatenate(
+                [_CADENCE_EDGES, jnp.full((1,), 2**30, jnp.int32)]
+            )
+            cand = jnp.maximum(jnp.maximum(it + 1, last + _CADENCE_GAPS), lo)
+            valid = cand < hi
+            return jnp.min(jnp.where(valid, cand, 2**30))
+
+        def next_rescale_stop(ls):
+            """it-position (completed iterations) just before the next
+            rescale-eligible iteration, inf-like when none is scheduled."""
+            big = jnp.asarray(2**30, jnp.int32)
+            e1 = jnp.where(
+                (ls.stage == 1) & (ls.max_feas < 2e-2) & (ls.rel_gap < 5e-2),
+                jnp.maximum(ls.it + 1, self.FIRST_ITER),
+                big,
+            )
+            e2 = jnp.where(
+                (ls.stage == 2) & (ls.max_feas < 5e-3) & (ls.rel_gap < 1e-2),
+                jnp.maximum(ls.it + 1, self.SECOND_ITER),
+                big,
+            )
+            e3 = jnp.where(ls.stage >= 3, ls.stage3_next, big)
+            return jnp.minimum(jnp.minimum(e1, e2), e3) - 1
+
+        def body(ls_and_end):
+            ls, it_end = ls_and_end
+            stop = jnp.minimum(
+                jnp.minimum(next_check_it(ls.it, ls.last_sigma_it),
+                            next_rescale_stop(ls)),
+                jnp.minimum(it_end, maxit),
+            )
+            k = jnp.maximum(stop - ls.it, 0)
+            s = self._segment(ls.s, k)
+            ls = ls._replace(s=s, it=ls.it + k)
+            at_check = ((ls.it - ls.last_sigma_it) >= _cadence_gap(ls.it)) | (
                 ls.it >= maxit
             )
-            ls = jax.lax.cond(check, check_block, lambda x: x, ls)
-            # acc-ADMM anchor averaging runs after the check block
-            return ls._replace(s=self._post_check(ls.s, False, False))
+            ls = jax.lax.cond(at_check, check_block, lambda x: x, ls)
+            ls = ls._replace(s=self._post_check(ls.s, False, False))
+            # rescale due at the top of the next iteration fires here
+            ls = rescale_trigger(ls)
+            return (ls, it_end)
 
         def chunk(ls: LoopState, it_end) -> LoopState:
-            def cond(ls):
-                return (~ls.done) & (ls.it < it_end)
+            def cond(c):
+                ls, end = c
+                return (~ls.done) & (ls.it < jnp.minimum(end, maxit))
 
-            return jax.lax.while_loop(cond, body, ls)
+            ls, _ = jax.lax.while_loop(cond, body, (ls, it_end))
+            return ls
 
         if self.DONATE:
             return partial(jax.jit, donate_argnums=0)(chunk)
@@ -291,6 +354,7 @@ class DeviceDriver:
             done=jnp.zeros((), bool),
             hist=jnp.zeros((self._hist_cap, 9), f32),
             hist_n=jnp.zeros((), jnp.int32),
+            stage3_next=jnp.asarray(self.rescale_check_every, jnp.int32),
         )
 
     def solve(self, var):
@@ -368,6 +432,18 @@ class AccDeviceDriver(DeviceDriver):
 
     def _step(self, e):
         return e._replace(s=self.k._step(e.s))
+
+    def _segment(self, e, k):
+        """k acc-ADMM iterations: step+Halpern for the first k-1, the last
+        one stops pre-averaging (the KKT point); _post_check completes it."""
+        def body(_, e):
+            e = e._replace(s=self.k._step(e.s))
+            return self.k._halpern(e)
+
+        e = jax.lax.fori_loop(0, jnp.maximum(k - 1, 0), body, e)
+        return jax.lax.cond(
+            k > 0, lambda e: e._replace(s=self.k._step(e.s)), lambda e: e, e
+        )
 
     def _post_check(self, e, sigma_changed, rescaled):
         return self.k._halpern(e)
