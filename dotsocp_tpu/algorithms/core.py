@@ -397,21 +397,31 @@ class Kernels:
             sc(var["dScale"]), sc(var["norm_c"]), sc(var["norm_d"]),
         )
 
+    def _finalize_impl(self, s: SolverState):
+        """One-dispatch write-back: arrays + a packed scalar vector."""
+        scalars = jnp.stack(
+            [s.cScale, s.dScale, s.norm_c, s.norm_d, s.sigma / s.sigmaScale]
+        )
+        return (
+            s.phi, s.q, s.z, s.alpha * s.sigma, s.beta * s.sigma,
+            s.c * s.sigma, scalars,
+        )
+
     def finalize(self, s: SolverState, var) -> dict:
         """Write back iteration variables (``solver_socp_inPALM.m:329-357``):
-        alpha,beta remultiplied by sigma; sigma unwound by sigmaScale."""
+        alpha,beta remultiplied by sigma; sigma unwound by sigmaScale.
+        One jitted dispatch + one scalar transfer (vs ~10 eager round trips
+        over the tunneled TPU)."""
+        if not hasattr(self, "_finalize_jit"):
+            self._finalize_jit = jax.jit(self._finalize_impl)
+        phi, q, z, alpha, beta, c, scalars = self._finalize_jit(s)
+        c_scale, d_scale, norm_c, norm_d, sigma_out = (
+            float(v) for v in jax.device_get(scalars)
+        )
         var = dict(var)
         var.update(
-            phi=s.phi,
-            q=s.q,
-            z=s.z,
-            alpha=s.alpha * s.sigma,
-            beta=s.beta * s.sigma,
-            c=s.c * s.sigma,
-            cScale=s.cScale,
-            dScale=s.dScale,
-            norm_c=s.norm_c,
-            norm_d=s.norm_d,
+            phi=phi, q=q, z=z, alpha=alpha, beta=beta, c=c,
+            cScale=c_scale, dScale=d_scale, norm_c=norm_c, norm_d=norm_d,
         )
-        var["sigma_out"] = float(s.sigma / s.sigmaScale)
+        var["sigma_out"] = sigma_out
         return var

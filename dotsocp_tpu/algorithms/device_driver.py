@@ -373,9 +373,10 @@ class DeviceDriver:
         # (iteration, elapsed) at chunk boundaries, for history timestamps
         time_marks = [(0, 0.0)]
         while True:
-            it = int(jax.device_get(ls.it))
+            it_v, done_v = jax.device_get((ls.it, ls.done))
+            it = int(it_v)
             time_marks.append((it, time.monotonic() - t0))
-            if it >= opts.maxit or bool(jax.device_get(ls.done)):
+            if it >= opts.maxit or bool(done_v):
                 break
             if time.monotonic() - t0 > opts.time_limit:
                 break

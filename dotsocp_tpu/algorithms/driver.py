@@ -298,11 +298,16 @@ class SegmentSolver:
                 self.pre_kkt(state)
                 # pack the KKT dict into one vector on device: a device_get
                 # of ~20 separate leaves costs a round-trip each over the
-                # tunneled TPU
+                # tunneled TPU. The jit lives on the kernels object so a
+                # rebuilt solver wrapper (solver cache) keeps the trace.
                 if self._kkt_packed is None:
                     from .core import pack_kkt
 
-                    self._kkt_packed = jax.jit(lambda st: pack_kkt(k.kkt(st)))
+                    self._kkt_packed = getattr(k, "_kkt_packed_jit", None)
+                    if self._kkt_packed is None:
+                        k._kkt_packed_jit = self._kkt_packed = jax.jit(
+                            lambda st: pack_kkt(k.kkt(st))
+                        )
                 from .core import unpack_kkt
 
                 res = unpack_kkt(jax.device_get(self._kkt_packed(state)))

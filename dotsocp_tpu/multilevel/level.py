@@ -128,6 +128,41 @@ def update_e2(prev_e2: Optional[float], last_kkt, weighted: bool) -> float:
     return prev_e2 * min(math.sqrt(2.0), max(1.0, ratio))
 
 
+@jax.jit
+def _scale_blocks_jit(c, phi, q, z, alpha, beta,
+                      div_c, div_phi, f_q, f_z, f_alpha, f_beta):
+    """All six block scalings in one device dispatch (each eager op costs a
+    ~25 ms round-trip over the tunneled TPU). c and phi are divided, the
+    rest multiplied — the exact arithmetic the reference uses
+    (``solver_dotsocp2d.m:330-339``), so values are bitwise identical to
+    per-block eager ops."""
+    mul = lambda x, f: x * jnp.asarray(f, x.dtype)
+    return (
+        c / jnp.asarray(div_c, c.dtype),
+        phi / jnp.asarray(div_phi, phi.dtype),
+        jax.tree.map(lambda x: mul(x, f_q), q),
+        mul(z, f_z),
+        jax.tree.map(lambda x: mul(x, f_alpha), alpha),
+        mul(beta, f_beta),
+    )
+
+
+def _scale_blocks(lv: LevelVar, div_c, div_phi, f_q, f_z, f_alpha, f_beta):
+    leaves = jax.tree.leaves((lv.c, lv.phi, lv.q, lv.z, lv.alpha, lv.beta))
+    if all(isinstance(x, np.ndarray) for x in leaves):
+        lv.c = lv.c / np.asarray(div_c, lv.c.dtype)
+        lv.phi = lv.phi / np.asarray(div_phi, lv.phi.dtype)
+        lv.q = lv.q * float(f_q)
+        lv.z = lv.z * np.asarray(f_z, lv.z.dtype)
+        lv.alpha = lv.alpha * float(f_alpha)
+        lv.beta = lv.beta * np.asarray(f_beta, lv.beta.dtype)
+    else:
+        lv.c, lv.phi, lv.q, lv.z, lv.alpha, lv.beta = _scale_blocks_jit(
+            lv.c, lv.phi, lv.q, lv.z, lv.alpha, lv.beta,
+            div_c, div_phi, f_q, f_z, f_alpha, f_beta,
+        )
+
+
 def initial_scaling(lv: LevelVar, scaling: bool, last_kkt=None,
                     prev_e2: Optional[float] = None) -> None:
     """Scale (c, phi, q, z, alpha, beta) and set (D, E, cScale, dScale)
@@ -173,27 +208,39 @@ def initial_scaling(lv: LevelVar, scaling: bool, last_kkt=None,
 
     lv.norm_c = norm_c / c_scale
     lv.norm_d = norm_d * E / d_scale
-    lv.c = lv.c / c_scale
-    lv.phi = lv.phi / d_scale
-    lv.q = lv.q * (D / d_scale)
-    lv.z = lv.z * (E / d_scale)
-    lv.alpha = lv.alpha * (1.0 / (c_scale * D))
-    lv.beta = lv.beta * (1.0 / (c_scale * E))
+    _scale_blocks(
+        lv,
+        c_scale, d_scale, D / d_scale, E / d_scale,
+        1.0 / (c_scale * D), 1.0 / (c_scale * E),
+    )
     lv.D, lv.E, lv.cScale, lv.dScale = D, E, c_scale, d_scale
+
+
+@jax.jit
+def _unscale_blocks_jit(phi, z, q, alpha, beta,
+                        f_phi, f_z, f_q, f_alpha, f_beta):
+    mul = lambda x, f: x * jnp.asarray(f, x.dtype)
+    return (
+        mul(phi, f_phi),
+        mul(z, f_z),
+        jax.tree.map(lambda x: mul(x, f_q), q),
+        jax.tree.map(lambda x: mul(x, f_alpha), alpha),
+        mul(beta, f_beta),
+    )
 
 
 def recover_org_var(lv: LevelVar, out: dict) -> None:
     """Undo the initial scaling on the solver's outputs in place
     (``solver_dotsocp2d.m:368-386``); ``out`` is the finalized var dict with
-    possibly grown cScale/dScale from dynamic rescaling."""
+    possibly grown cScale/dScale from dynamic rescaling. One device dispatch
+    for all five blocks."""
     c_scale = float(jax.device_get(out["cScale"]))
     d_scale = float(jax.device_get(out["dScale"]))
     D, E = lv.D, lv.E
-    lv.phi = out["phi"] * d_scale
-    lv.z = out["z"] * (d_scale / E)
-    lv.q = out["q"] * (d_scale / D)
-    lv.alpha = out["alpha"] * (c_scale * D)
-    lv.beta = out["beta"] * (c_scale * E)
+    lv.phi, lv.z, lv.q, lv.alpha, lv.beta = _unscale_blocks_jit(
+        out["phi"], out["z"], out["q"], out["alpha"], out["beta"],
+        d_scale, d_scale / E, d_scale / D, c_scale * D, c_scale * E,
+    )
     lv.cScale, lv.dScale = c_scale, d_scale
 
 

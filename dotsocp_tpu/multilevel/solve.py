@@ -73,14 +73,79 @@ def _is_sgs(method: str) -> bool:
     return method in ("sGS-inPALM", "acc-sGS-ADMM")
 
 
+# jitted executables are expensive to rebuild on the tunneled TPU (a fresh
+# trace + compile-cache load of the device while_loop costs seconds), so
+# kernels/driver objects are memoized across solve_dot calls. Keyed by every
+# compile-relevant static; runtime-only options (sigma, time_limit) are
+# refreshed on each hit.
+from collections import OrderedDict as _OrderedDict
+
+_SOLVER_CACHE: "_OrderedDict[tuple, object]" = _OrderedDict()
+_SOLVER_CACHE_MAX = 10
+
+
+def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
+                      checkpoint_path, device_kw, use_pallas):
+    weight_key = (
+        None if lv.weight is None
+        else tuple(id(x) for x in jax.tree.leaves(lv.weight))
+    )
+    return (
+        method, driver, lv.geom, float(lv.D), float(lv.E), float(o.tau),
+        weight_key, bool(o.check_prim_dual_feas), str(jnp.dtype(dtype)),
+        bool(use_pallas), float(o.tol), int(o.maxit), int(o.restart),
+        float(o.rho), float(o.theta), bool(o.check_step_by_step),
+        checkpoint_path,
+        tuple(sorted((device_kw or {}).items())),
+    )
+
+
+def clear_solver_cache():
+    _SOLVER_CACHE.clear()
+
+
 def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                   driver: str = "auto", checkpoint_path=None,
-                  device_kw=None, use_pallas: bool = False):
+                  device_kw=None, use_pallas: bool = False,
+                  reuse: bool = True):
     """driver: 'device' runs the whole level loop inside one jitted
     while_loop (one host round-trip per ~600 iterations — the TPU-native
     fast path); 'host' uses the readable host-orchestrated driver (needed
     for sGS variants and step-by-step checking). 'auto' picks device where
     supported."""
+    if reuse:
+        key = _solver_cache_key(method, lv, o, dtype, driver,
+                                checkpoint_path, device_kw, use_pallas)
+        cached = _SOLVER_CACHE.get(key)
+        if cached is not None:
+            _SOLVER_CACHE.move_to_end(key)
+            solver = cached() if callable(cached) else cached
+            # runtime-only fields (sigma warm start, remaining time budget)
+            solver.opts = o
+            return solver
+    solver = _make_solver(method, lv, o, dtype, driver, checkpoint_path,
+                          device_kw, use_pallas)
+    if reuse:
+        from .. import algorithms as _alg  # noqa: F401  (package anchor)
+        from ..algorithms.device_driver import AccDeviceDriver, DeviceDriver
+
+        if isinstance(solver, (DeviceDriver, AccDeviceDriver)):
+            # device drivers are stateless per solve: cache the object
+            _SOLVER_CACHE[key] = solver
+        else:
+            # host solvers carry per-solve state (sGS win-count history):
+            # cache a factory that rebinds the (jit-caching) kernels
+            kernels = solver.k
+            cls = type(solver)
+            _SOLVER_CACHE[key] = lambda: cls(kernels, o)
+        while len(_SOLVER_CACHE) > _SOLVER_CACHE_MAX:
+            _SOLVER_CACHE.popitem(last=False)
+    return solver
+
+
+def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
+                 driver: str = "auto", checkpoint_path=None,
+                 device_kw=None, use_pallas: bool = False):
     weighted = lv.weight is not None
     cfg = LevelConfig(
         geom=lv.geom,
@@ -156,9 +221,12 @@ from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnums=(0, 3))
-def _jump_arrays(geom_f, phi_c, beta_c, weighted: bool, weight_f):
+def _jump_arrays(geom_f, phi_c, beta_c, weighted: bool, weight_f,
+                 rho0_f, rho1_f):
     """Jitted prolongation + warm start (one dispatch instead of ~40 eager
-    ops, which matters on the high-latency tunneled TPU)."""
+    ops, which matters on the high-latency tunneled TPU). Also rebuilds the
+    fine-level c and fresh z on device, so no multi-MB host arrays cross the
+    tunnel between levels."""
     phi_f = prolong_phi(phi_c)
     beta_f = prolong_z_like(beta_c)
     q = grad(geom_f, phi_f)
@@ -166,7 +234,12 @@ def _jump_arrays(geom_f, phi_c, beta_c, weighted: bool, weight_f):
     if weighted:
         q = q / weight_f
         alpha = alpha / weight_f
-    return phi_f, beta_f, q, alpha
+    dtype = phi_f.dtype
+    c = jnp.zeros(geom_f.phi_shape, dtype)
+    c = c.at[0].set(-jnp.asarray(rho0_f, dtype) / jnp.asarray(geom_f.ht, dtype))
+    c = c.at[-1].set(jnp.asarray(rho1_f, dtype) / jnp.asarray(geom_f.ht, dtype))
+    z = jnp.zeros(geom_f.z_shape, dtype)
+    return phi_f, beta_f, q, alpha, c, z
 
 
 def _jump_next_level(lv: LevelVar, rho0_f, rho1_f, nt_f: int, dtype,
@@ -177,13 +250,16 @@ def _jump_next_level(lv: LevelVar, rho0_f, rho1_f, nt_f: int, dtype,
     lv_f = initialize(rho0_f, rho1_f, nt_f, dtype=dtype, weight=weight_f)
     weighted = weight_f is not None
     w = weight_f if weighted else stg_ones_like_placeholder(lv_f.geom, dtype)
-    phi_f, beta_f, q, alpha = _jump_arrays(
-        lv_f.geom, lv.phi.astype(dtype), lv.beta.astype(dtype), weighted, w
+    phi_f, beta_f, q, alpha, c, z = _jump_arrays(
+        lv_f.geom, lv.phi.astype(dtype), lv.beta.astype(dtype), weighted, w,
+        jnp.asarray(rho0_f, dtype), jnp.asarray(rho1_f, dtype),
     )
     lv_f.phi = phi_f
     lv_f.beta = beta_f
     lv_f.q = q
     lv_f.alpha = alpha
+    lv_f.c = c
+    lv_f.z = z
     return lv_f
 
 
@@ -364,7 +440,8 @@ def solve_dot(
                                 driver=str(opts.get("driver", "auto")),
                                 checkpoint_path=ckpt_path,
                                 device_kw=device_kw,
-                                use_pallas=bool(opts.get("use_pallas", False)))
+                                use_pallas=bool(opts.get("use_pallas", False)),
+                                reuse=bool(opts.get("reuse_solvers", True)))
         hist, out = solver.solve(lv.as_dict())
         hist["method"] = solver.name
         hists.append(hist)
