@@ -31,9 +31,8 @@ import numpy as np
 from ..ops.geometry import Geometry
 from ..ops.staggered import Staggered
 from ..ops import staggered as stg
-from ..ops.grad import grad, grad_T
-from ..ops.cone import bfd, bfd_T, proj_soc, oper_q_diag
-from ..ops.poisson import DctPoisson, make_dct_poisson
+from ..ops.cone import proj_soc
+from ..ops.engine import make_ops
 from ..utils.norms import norm_l2
 
 
@@ -95,47 +94,57 @@ class LevelConfig:
     check_prim_dual_feas: bool = True
     dtype: object = jnp.float32
     use_pallas: bool = False
+    # "3d": shaped arrays (sharding-friendly, sGS); "flat": spatial axes
+    # flattened into one lane-packed axis (the single-chip fast path —
+    # see ops/engine.py for why 2^k+1 grids pay ~2x HBM otherwise)
+    layout: str = "3d"
 
 
 class Kernels:
-    """Jitted kernels for one level. ``weight`` is a Staggered field of ones
-    when the problem is unweighted — the formulas then reduce exactly to the
-    reference's dot1d/dot2d path (w == 1)."""
+    """Jitted kernels for one level. ``weight`` is None for the unweighted
+    problem — the weighted formulas with w == 1 reduce exactly to the
+    reference's dot1d/dot2d path, so skipping the multiplies is bitwise
+    equivalent (and saves HBM reads of a ones-array)."""
 
     def __init__(self, cfg: LevelConfig, weight: Optional[Staggered] = None):
         self.cfg = cfg
         geom = cfg.geom
         dtype = cfg.dtype
         self.geom = geom
-        self.poisson = make_dct_poisson(geom, D=cfg.D, dtype=dtype)
-        if weight is None:
-            weight = stg.ones(geom, dtype)
-        self.weight = weight.astype(dtype)
-        diag = oper_q_diag(geom, cfg.D, cfg.E, weight if cfg.weighted else None,
-                           dtype=dtype)
+        self.ops = make_ops(geom, dtype, cfg.layout)
+        self.poisson = self.ops.make_poisson(cfg.D)
+        if weight is None or not cfg.weighted:
+            self.weight = None
+            diag = self.ops.oper_q_diag(cfg.D, cfg.E, None)
+        else:
+            self.weight = self.ops.weight_to_internal(weight.astype(dtype))
+            diag = self.ops.oper_q_diag(cfg.D, cfg.E, self.weight)
         self.diag_q_inv = jax.tree.map(lambda x: 1.0 / x, diag)
         self.scale_bf = cfg.E / cfg.D
         self._build()
+
+    def _w(self, x):
+        """Multiply by the diagonal weight D_w (identity when unweighted)."""
+        return x if self.weight is None else self.weight * x
 
     # -- core iteration --------------------------------------------------
     def _step(self, s: SolverState) -> SolverState:
         """One inPALM/PALM-family iteration (``solver_socp_inPALM.m:192-216``;
         weighted variant ``solver_wsocp_inPALM.m:198-222``)."""
         cfg = self.cfg
-        geom = self.geom
-        w = self.weight
+        ops = self.ops
         # phi-step: D^2 A0^T A0 phi = D A0^T (w.q - alpha) + c   (DCT solve)
-        rhs = cfg.D * grad_T(geom, w * s.q - s.alpha) + s.c
+        rhs = cfg.D * ops.grad_T(self._w(s.q) - s.alpha) + s.c
         phi = self.poisson.solve(rhs)
         # z-step: cone projection of the cached BFd(q) minus beta
         z = proj_soc(s.z2 - s.beta)
         # q-step: diagonal solve
-        tmp_q = cfg.D * grad(geom, phi)
-        q2 = bfd_T(geom, z + s.beta, self.scale_bf)
-        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        tmp_q = cfg.D * ops.grad(phi)
+        q2 = ops.bfd_T(z + s.beta, self.scale_bf)
+        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
         # multiplier step
-        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
-        resi_alpha = tmp_q - w * q
+        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        resi_alpha = tmp_q - self._w(q)
         resi_beta = z - z2
         alpha = s.alpha + cfg.tau * resi_alpha
         beta = s.beta + cfg.tau * resi_beta
@@ -186,15 +195,15 @@ class Kernels:
         device computation returning a dict of scalars."""
         cfg = self.cfg
         geom = self.geom
+        ops = self.ops
         h = geom.h
-        w = self.weight
         kkt_const = 1.0
 
-        tmp_q = cfg.D * grad(geom, s.phi)
-        resi_alpha = tmp_q - w * s.q
+        tmp_q = cfg.D * ops.grad(s.phi)
+        resi_alpha = tmp_q - self._w(s.q)
         resi_beta = s.z - s.z2
-        q2b = bfd_T(geom, s.beta, self.scale_bf)
-        d_alpha = w * s.alpha
+        q2b = ops.bfd_T(s.beta, self.scale_bf)
+        d_alpha = self._w(s.alpha)
 
         norm_q = norm_l2(s.q, h)
         norm_z = norm_l2(s.z, h)
@@ -205,7 +214,7 @@ class Kernels:
 
         prim_fea1 = norm_l2(resi_alpha, h)
         prim_fea2 = norm_l2(resi_beta, h)
-        dual_fea1 = s.sigma * norm_l2(cfg.D * grad_T(geom, s.alpha) - s.c, h)
+        dual_fea1 = s.sigma * norm_l2(cfg.D * ops.grad_T(s.alpha) - s.c, h)
         dual_fea2 = s.sigma * norm_l2(q2b + d_alpha, h)
         complem = norm_l2(s.z - proj_soc(s.z - s.sigma * s.beta), h)
 
@@ -288,19 +297,17 @@ class Kernels:
         norm_rho_fq = norm_l2(rho_fq, h)
 
         # interpolate rho to time nodes (zero-padded ends), then to faces
-        zslab = jnp.zeros((1,) + geom.space, rho_t.dtype)
-        padded = jnp.concatenate([zslab, rho_t, zslab], axis=0)  # (nt+1, *space)
-        rho_nodes = 0.5 * (padded[:-1] + padded[1:])  # (nt, *space)
+        zslab = jnp.zeros((1,) + rho_t.shape[1:], rho_t.dtype)
+        padded = jnp.concatenate([zslab, rho_t, zslab], axis=0)  # (nt+1, ...)
+        rho_nodes = 0.5 * (padded[:-1] + padded[1:])  # (nt, ...)
 
         m_sq = jnp.asarray(0.0, rho_t.dtype)
         rb_sq = jnp.asarray(0.0, rho_t.dtype)
         diff_sq = jnp.asarray(0.0, rho_t.dtype)
         for a in range(d):
-            ax = 1 + a
-            n_a = geom.space[a]
-            lo = jax.lax.slice_in_dim(rho_nodes, 0, n_a - 1, axis=ax)
-            hi = jax.lax.slice_in_dim(rho_nodes, 1, n_a, axis=ax)
-            rho_face = 0.5 * (lo + hi)
+            # face-interpolated rho; any flat ghost garbage is annihilated
+            # by the ghost-zero face arrays it multiplies
+            rho_face = self.ops.face_interp(rho_nodes, a)
             rho_b = (s.dScale / cfg.D) * rho_face * s.q.bs[a]
             m_a = (s.sigma * s.cScale * cfg.D) * d_alpha.bs[a]
             m_sq = m_sq + h * jnp.sum(jnp.square(m_a))
@@ -335,7 +342,7 @@ class Kernels:
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = bfd(self.geom, q, self.scale_bf, cfg.E / d_scale)
+        z2 = self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),
             c=s.c * r,
@@ -354,12 +361,20 @@ class Kernels:
     # -- lifecycle -------------------------------------------------------
     def _prep_impl(self, phi, q, z, alpha, beta, c, sigma, c_scale, d_scale,
                    norm_c, norm_d):
-        """Jitted state assembly: divide alpha/beta/c by sigma and cache z2.
-        One device dispatch instead of ~10 eager ops — the level plumbing
-        stays on the host (see initialize) and lands here in one hop.
-        Outputs are fresh buffers (no donation), so the caller's arrays
-        survive the solver's donated segments."""
-        z2 = bfd(self.geom, q, self.scale_bf, self.cfg.E / d_scale)
+        """Jitted state assembly: convert to the kernel layout, divide
+        alpha/beta/c by sigma, and cache z2. One device dispatch instead of
+        ~10 eager ops — the level plumbing stays on the host (see
+        initialize) and lands here in one hop. Outputs are fresh buffers
+        (no donation), so the caller's arrays survive the solver's donated
+        segments."""
+        ops = self.ops
+        phi = ops.phi_to_internal(phi)
+        q = ops.stag_to_internal(q)
+        z = ops.z_to_internal(z)
+        alpha = ops.stag_to_internal(alpha)
+        beta = ops.z_to_internal(beta)
+        c = ops.phi_to_internal(c)
+        z2 = ops.bfd(q, self.scale_bf, self.cfg.E / d_scale)
         return SolverState(
             phi=phi + 0.0,
             q=jax.tree.map(lambda x: x + 0.0, q),
@@ -398,13 +413,20 @@ class Kernels:
         )
 
     def _finalize_impl(self, s: SolverState):
-        """One-dispatch write-back: arrays + a packed scalar vector."""
+        """One-dispatch write-back (in the caller's shaped layout):
+        arrays + a packed scalar vector."""
+        ops = self.ops
         scalars = jnp.stack(
             [s.cScale, s.dScale, s.norm_c, s.norm_d, s.sigma / s.sigmaScale]
         )
         return (
-            s.phi, s.q, s.z, s.alpha * s.sigma, s.beta * s.sigma,
-            s.c * s.sigma, scalars,
+            ops.phi_from_internal(s.phi),
+            ops.stag_from_internal(s.q),
+            ops.z_from_internal(s.z),
+            ops.stag_from_internal(s.alpha * s.sigma),
+            ops.z_from_internal(s.beta * s.sigma),
+            ops.phi_from_internal(s.c * s.sigma),
+            scalars,
         )
 
     def finalize(self, s: SolverState, var) -> dict:

@@ -15,14 +15,14 @@ scaled iff it is consumed before being recomputed):
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.grad import grad, grad_T
-from ..ops.cone import bfd, bfd_T, proj_soc
+from ..ops.cone import proj_soc
 from ..ops.sgs import make_sgs
 from ..ops.staggered import Staggered
 from ..utils.norms import norm_l2
@@ -39,25 +39,24 @@ class PALMKernels(Kernels):
 
     def _step(self, s: SolverState) -> SolverState:
         cfg = self.cfg
-        geom = self.geom
-        w = self.weight
+        ops = self.ops
         # step q0: uses A*phi from the previous iteration
-        tmp_q = cfg.D * grad(geom, s.phi)
-        q2 = bfd_T(geom, s.z + s.beta, self.scale_bf)
-        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        tmp_q = cfg.D * ops.grad(s.phi)
+        q2 = ops.bfd_T(s.z + s.beta, self.scale_bf)
+        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
         # step phi
-        rhs = cfg.D * grad_T(geom, w * q - s.alpha) + s.c
+        rhs = cfg.D * ops.grad_T(self._w(q) - s.alpha) + s.c
         phi = self.poisson.solve(rhs)
         # step z (z2 refreshed from the q0-step's q)
-        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
+        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
         z = proj_soc(z2 - s.beta)
         # step q (second)
-        tmp_q = cfg.D * grad(geom, phi)
-        q2 = bfd_T(geom, z + s.beta, self.scale_bf)
-        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        tmp_q = cfg.D * ops.grad(phi)
+        q2 = ops.bfd_T(z + s.beta, self.scale_bf)
+        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
         # multipliers
-        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
-        resi_alpha = tmp_q - w * q
+        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        resi_alpha = tmp_q - self._w(q)
         resi_beta = z - z2
         return s._replace(
             phi=phi,
@@ -73,9 +72,9 @@ class PALMKernels(Kernels):
         # initial z = BFd(A phi) (``solver_socp_PALM.m:136-138``)
         if not hasattr(self, "_palm_z_jit"):
             def _zinit(s):
-                tmp_q = self.cfg.D * grad(self.geom, s.phi)
-                z = bfd(self.geom, tmp_q, self.scale_bf,
-                        self.cfg.E / s.dScale)
+                tmp_q = self.cfg.D * self.ops.grad(s.phi)
+                z = self.ops.bfd(tmp_q, self.scale_bf,
+                                 self.cfg.E / s.dScale)
                 return s._replace(z=z)
 
             self._palm_z_jit = jax.jit(_zinit)
@@ -133,18 +132,17 @@ class AccADMMKernels(Kernels):
 
     def _step(self, s: SolverState) -> SolverState:
         cfg = self.cfg
-        geom = self.geom
-        w = self.weight
+        ops = self.ops
         # step q
-        q2 = bfd_T(geom, s.z + s.beta, self.scale_bf)
-        tmp_q = cfg.D * grad(geom, s.phi)
-        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        q2 = ops.bfd_T(s.z + s.beta, self.scale_bf)
+        tmp_q = cfg.D * ops.grad(s.phi)
+        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
         # step alpha, beta (unit step)
-        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
-        alpha = s.alpha + tmp_q - w * q
+        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        alpha = s.alpha + tmp_q - self._w(q)
         beta = s.beta + s.z - z2
         # step phi
-        rhs = cfg.D * grad_T(geom, w * q - alpha) + s.c
+        rhs = cfg.D * ops.grad_T(self._w(q) - alpha) + s.c
         phi = self.poisson.solve(rhs)
         # step z
         z = proj_soc(z2 - beta)
@@ -215,7 +213,7 @@ class AccADMMKernels(Kernels):
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = bfd(self.geom, q, self.scale_bf, cfg.E / d_scale)
+        z2 = self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),
             c=s.c * r,
@@ -345,6 +343,7 @@ class AccSgsADMMKernels(AccADMMKernels):
 
     def __init__(self, cfg: LevelConfig, weight=None, restart: int = 100,
                  rho: float = 2.0):
+        cfg = dataclasses.replace(cfg, layout="3d")  # sGS sweeps shaped phi
         if cfg.use_pallas:
             from ..ops.pallas_kernels import make_sgs_pallas
 
@@ -356,18 +355,17 @@ class AccSgsADMMKernels(AccADMMKernels):
 
     def _step_parts(self, s: SolverState):
         cfg = self.cfg
-        geom = self.geom
-        w = self.weight
+        ops = self.ops
         # step q
-        q2 = bfd_T(geom, s.z + s.beta, self.scale_bf)
-        tmp_q = cfg.D * grad(geom, s.phi)
-        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
+        q2 = ops.bfd_T(s.z + s.beta, self.scale_bf)
+        tmp_q = cfg.D * ops.grad(s.phi)
+        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
         # step alpha, beta
-        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
-        alpha = s.alpha + tmp_q - w * q
+        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        alpha = s.alpha + tmp_q - self._w(q)
         beta = s.beta + s.z - z2
         # step phi: one symmetric red-black sweep
-        rhs = cfg.D * grad_T(geom, w * q - alpha) + s.c
+        rhs = cfg.D * ops.grad_T(self._w(q) - alpha) + s.c
         phi = self.sgs_op.sweep(s.phi, rhs, self.sgs_its)
         s2 = s._replace(phi=phi, q=q, alpha=alpha, beta=beta, z2=z2)
         return s2, rhs
@@ -388,10 +386,10 @@ class AccSgsADMMKernels(AccADMMKernels):
 
     def _feas_pair(self, s: SolverState):
         h = self.geom.h
-        tmp_q = self.cfg.D * grad(self.geom, s.phi)
-        prim_fea1 = norm_l2(tmp_q - self.weight * s.q, h)
+        tmp_q = self.cfg.D * self.ops.grad(s.phi)
+        prim_fea1 = norm_l2(tmp_q - self._w(s.q), h)
         dual_fea1 = s.sigma * norm_l2(
-            self.cfg.D * grad_T(self.geom, s.alpha) - s.c, h
+            self.cfg.D * self.ops.grad_T(s.alpha) - s.c, h
         )
         return {"primFea1": prim_fea1, "dualFea1": dual_fea1}
 
@@ -440,10 +438,10 @@ class AccSgsADMMKernels(AccADMMKernels):
         """KKT battery + the sGS-block error (``accsGSADMM.m:358``)."""
         out = self._kkt(s)
         h = self.geom.h
-        tmp_q = self.cfg.D * grad(self.geom, s.phi)
-        resi_alpha = tmp_q - self.weight * s.q
-        t1 = norm_l2(self.cfg.D * grad_T(self.geom, resi_alpha), h)
-        dual1 = norm_l2(self.cfg.D * grad_T(self.geom, s.alpha) - s.c, h)
+        tmp_q = self.cfg.D * self.ops.grad(s.phi)
+        resi_alpha = tmp_q - self._w(s.q)
+        t1 = norm_l2(self.cfg.D * self.ops.grad_T(resi_alpha), h)
+        dual1 = norm_l2(self.cfg.D * self.ops.grad_T(s.alpha) - s.c, h)
         out["kkt_sgs_blocks"] = jnp.sqrt(t1 * t1 + dual1 * dual1)
         return out
 
@@ -464,6 +462,7 @@ class SgsKernels(Kernels):
     sgs_its = 1
 
     def __init__(self, cfg: LevelConfig, weight=None):
+        cfg = dataclasses.replace(cfg, layout="3d")  # sGS sweeps shaped phi
         if cfg.use_pallas:
             from ..ops.pallas_kernels import make_sgs_pallas
 
@@ -474,18 +473,17 @@ class SgsKernels(Kernels):
         super().__init__(cfg, weight)
 
     def _phi_rhs(self, s: SolverState):
-        return self.cfg.D * grad_T(self.geom, self.weight * s.q - s.alpha) + s.c
+        return self.cfg.D * self.ops.grad_T(self._w(s.q) - s.alpha) + s.c
 
     def _step_from_phi(self, s: SolverState, phi) -> SolverState:
         cfg = self.cfg
-        geom = self.geom
-        w = self.weight
+        ops = self.ops
         z = proj_soc(s.z2 - s.beta)
-        tmp_q = cfg.D * grad(geom, phi)
-        q2 = bfd_T(geom, z + s.beta, self.scale_bf)
-        q = (w * (tmp_q + s.alpha) + q2) * self.diag_q_inv
-        z2 = bfd(geom, q, self.scale_bf, cfg.E / s.dScale)
-        resi_alpha = tmp_q - w * q
+        tmp_q = cfg.D * ops.grad(phi)
+        q2 = ops.bfd_T(z + s.beta, self.scale_bf)
+        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
+        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        resi_alpha = tmp_q - self._w(q)
         resi_beta = z - z2
         return s._replace(
             phi=phi,
@@ -517,11 +515,11 @@ class SgsKernels(Kernels):
 
     def _feas_pair(self, s: SolverState):
         h = self.geom.h
-        tmp_q = self.cfg.D * grad(self.geom, s.phi)
-        resi_alpha = tmp_q - self.weight * s.q
+        tmp_q = self.cfg.D * self.ops.grad(s.phi)
+        resi_alpha = tmp_q - self._w(s.q)
         prim_fea1 = norm_l2(resi_alpha, h)
         dual_fea1 = s.sigma * norm_l2(
-            self.cfg.D * grad_T(self.geom, s.alpha) - s.c, h
+            self.cfg.D * self.ops.grad_T(s.alpha) - s.c, h
         )
         return {"primFea1": prim_fea1, "dualFea1": dual_fea1}
 
@@ -566,10 +564,10 @@ class SgsKernels(Kernels):
         # kkt error of the sGS blocks (``solver_socp_sGSinPALM.m:322``):
         # sqrt(||A'(A phi - q + alpha)... || — assembled from resi_alpha)
         h = self.geom.h
-        tmp_q = self.cfg.D * grad(self.geom, s.phi)
-        resi_alpha = tmp_q - self.weight * s.q
-        t1 = norm_l2(self.cfg.D * grad_T(self.geom, resi_alpha), h)
-        dual1 = norm_l2(self.cfg.D * grad_T(self.geom, s.alpha) - s.c, h)
+        tmp_q = self.cfg.D * self.ops.grad(s.phi)
+        resi_alpha = tmp_q - self._w(s.q)
+        t1 = norm_l2(self.cfg.D * self.ops.grad_T(resi_alpha), h)
+        dual1 = norm_l2(self.cfg.D * self.ops.grad_T(s.alpha) - s.c, h)
         out["kkt_sgs_blocks"] = jnp.sqrt(t1 * t1 + dual1 * dual1)
         return out
 
@@ -579,7 +577,7 @@ class SgsKernels(Kernels):
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = bfd(self.geom, q, self.scale_bf, cfg.E / d_scale)
+        z2 = self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),
             c=s.c * r,

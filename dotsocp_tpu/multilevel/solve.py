@@ -85,7 +85,7 @@ _SOLVER_CACHE_MAX = 10
 
 
 def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
-                      checkpoint_path, device_kw, use_pallas):
+                      checkpoint_path, device_kw, use_pallas, layout):
     weight_key = (
         None if lv.weight is None
         else tuple(id(x) for x in jax.tree.leaves(lv.weight))
@@ -95,7 +95,7 @@ def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
         weight_key, bool(o.check_prim_dual_feas), str(jnp.dtype(dtype)),
         bool(use_pallas), float(o.tol), int(o.maxit), int(o.restart),
         float(o.rho), float(o.theta), bool(o.check_step_by_step),
-        checkpoint_path,
+        checkpoint_path, layout,
         tuple(sorted((device_kw or {}).items())),
     )
 
@@ -107,15 +107,19 @@ def clear_solver_cache():
 def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                   driver: str = "auto", checkpoint_path=None,
                   device_kw=None, use_pallas: bool = False,
-                  reuse: bool = True):
+                  reuse: bool = True, layout: str = "auto"):
     """driver: 'device' runs the whole level loop inside one jitted
     while_loop (one host round-trip per ~600 iterations — the TPU-native
     fast path); 'host' uses the readable host-orchestrated driver (needed
     for sGS variants and step-by-step checking). 'auto' picks device where
-    supported."""
+    supported. layout 'auto' packs the spatial axes flat (ops/engine.py);
+    the sGS family pins itself back to shaped arrays."""
+    if layout == "auto":
+        layout = "flat"
     if reuse:
         key = _solver_cache_key(method, lv, o, dtype, driver,
-                                checkpoint_path, device_kw, use_pallas)
+                                checkpoint_path, device_kw, use_pallas,
+                                layout)
         cached = _SOLVER_CACHE.get(key)
         if cached is not None:
             _SOLVER_CACHE.move_to_end(key)
@@ -124,7 +128,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
             solver.opts = o
             return solver
     solver = _make_solver(method, lv, o, dtype, driver, checkpoint_path,
-                          device_kw, use_pallas)
+                          device_kw, use_pallas, layout)
     if reuse:
         from .. import algorithms as _alg  # noqa: F401  (package anchor)
         from ..algorithms.device_driver import AccDeviceDriver, DeviceDriver
@@ -145,7 +149,8 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
 
 def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                  driver: str = "auto", checkpoint_path=None,
-                 device_kw=None, use_pallas: bool = False):
+                 device_kw=None, use_pallas: bool = False,
+                 layout: str = "flat"):
     weighted = lv.weight is not None
     cfg = LevelConfig(
         geom=lv.geom,
@@ -156,6 +161,7 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         check_prim_dual_feas=o.check_prim_dual_feas,
         dtype=dtype,
         use_pallas=use_pallas,
+        layout=layout,
     )
     w = lv.weight
     use_device = driver == "device" or (
@@ -441,7 +447,8 @@ def solve_dot(
                                 checkpoint_path=ckpt_path,
                                 device_kw=device_kw,
                                 use_pallas=bool(opts.get("use_pallas", False)),
-                                reuse=bool(opts.get("reuse_solvers", True)))
+                                reuse=bool(opts.get("reuse_solvers", True)),
+                                layout=str(opts.get("layout", "auto")))
         hist, out = solver.solve(lv.as_dict())
         hist["method"] = solver.name
         hists.append(hist)

@@ -17,8 +17,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.grad import grad, grad_T
-from ..ops.cone import bfd, bfd_T, proj_soc
+from ..ops.cone import proj_soc
 
 # HBM peak bandwidth per chip (GB/s)
 ROOFLINE_GBPS = {
@@ -50,25 +49,25 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
     the phase is bandwidth-bound and near speed-of-light.
     """
     cfg = kernels.cfg
-    geom = kernels.geom
-    w = kernels.weight
+    ops = kernels.ops
+    wmul = kernels._w
 
     def phi_step(s):
-        rhs = cfg.D * grad_T(geom, w * s.q - s.alpha) + s.c
+        rhs = cfg.D * ops.grad_T(wmul(s.q) - s.alpha) + s.c
         return kernels.poisson.solve(rhs)
 
     def z_step(s):
         return proj_soc(s.z2 - s.beta)
 
     def q_step(s):
-        tmp_q = cfg.D * grad(geom, s.phi)
-        q2 = bfd_T(geom, s.z + s.beta, kernels.scale_bf)
-        return (w * (tmp_q + s.alpha) + q2) * kernels.diag_q_inv
+        tmp_q = cfg.D * ops.grad(s.phi)
+        q2 = ops.bfd_T(s.z + s.beta, kernels.scale_bf)
+        return (wmul(tmp_q + s.alpha) + q2) * kernels.diag_q_inv
 
     def mult_step(s):
-        tmp_q = cfg.D * grad(geom, s.phi)
-        z2 = bfd(geom, s.q, kernels.scale_bf, cfg.E / s.dScale)
-        alpha = s.alpha + cfg.tau * (tmp_q - w * s.q)
+        tmp_q = cfg.D * ops.grad(s.phi)
+        z2 = ops.bfd(s.q, kernels.scale_bf, cfg.E / s.dScale)
+        alpha = s.alpha + cfg.tau * (tmp_q - wmul(s.q))
         beta = s.beta + cfg.tau * (s.z - z2)
         return alpha, beta, z2
 
