@@ -372,11 +372,12 @@ class DeviceDriver:
         chunks = 0
         # (iteration, elapsed) at chunk boundaries, for history timestamps
         time_marks = [(0, 0.0)]
+        # fresh states start at (it=0, done=False): skip the first transfer
+        it, done = 0, False
+        if self.checkpoint_path:
+            it, done = (int(v) for v in jax.device_get((ls.it, ls.done)))
         while True:
-            it_v, done_v = jax.device_get((ls.it, ls.done))
-            it = int(it_v)
-            time_marks.append((it, time.monotonic() - t0))
-            if it >= opts.maxit or bool(done_v):
+            if it >= opts.maxit or bool(done):
                 break
             if time.monotonic() - t0 > opts.time_limit:
                 break
@@ -385,17 +386,22 @@ class DeviceDriver:
             it_end = min(it + self.chunk_iters, opts.maxit)
             ls = self._chunk(ls, jnp.asarray(it_end, jnp.int32))
             chunks += 1
+            it_v, done_v = jax.device_get((ls.it, ls.done))
+            it, done = int(it_v), bool(done_v)
+            time_marks.append((it, time.monotonic() - t0))
             if self.checkpoint_path:
                 from ..utils.checkpoint import save_pytree
 
                 save_pytree(
                     self.checkpoint_path, ls,
-                    {"iters": int(jax.device_get(ls.it)), "name": self.name},
+                    {"iters": it, "name": self.name},
                 )
 
         # unpack history; per-check times interpolated from chunk boundaries
-        hist_n = int(jax.device_get(ls.hist_n))
-        hist_rows = np.asarray(jax.device_get(ls.hist[:hist_n]))
+        # (one transfer of the whole buffer, sliced host-side)
+        hist_n_v, hist_v = jax.device_get((ls.hist_n, ls.hist))
+        hist_n = int(hist_n_v)
+        hist_rows = np.asarray(hist_v)[:hist_n]
         elapsed = time.monotonic() - t0
         marks = np.array(time_marks)
         hist = RunHistory(method=self.name)
@@ -406,7 +412,7 @@ class DeviceDriver:
 
         var = self.k.finalize(ls.s, var)
         var["name"] = self.name
-        var["iters"] = int(jax.device_get(ls.it))
+        var["iters"] = it
         var["solve_time"] = elapsed
         return hist.as_arrays(), var
 

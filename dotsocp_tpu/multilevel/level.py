@@ -248,29 +248,20 @@ def recover_org_var(lv: LevelVar, out: dict) -> None:
 # solution recovery (``recover_RhoE.m``, ``recover_q.m``)
 # ---------------------------------------------------------------------------
 
-def recover_rho_e(lv: LevelVar):
-    """(rho, E_1..E_d) from the multiplier alpha: alpha's q0-block is the
-    density on time-staggered cells, its face blocks are the momentum."""
-    geom = lv.geom
-    alpha = lv.alpha if lv.weight is None else lv.weight * lv.alpha
+def _rho_e_body(rho0, rho1, alpha: Staggered):
+    """Traceable body of recover_rho_e (alpha already weight-folded)."""
     rho_mid = alpha.q0
     rho = jnp.concatenate(
-        [
-            lv.rho0[None],
-            0.5 * (rho_mid[:-1] + rho_mid[1:]),
-            lv.rho1[None],
-        ],
-        axis=0,
+        [rho0[None], 0.5 * (rho_mid[:-1] + rho_mid[1:]), rho1[None]], axis=0
     )
     Es = []
-    for a in range(geom.ndim_space):
-        b = alpha.bs[a]
+    for a, b in enumerate(alpha.bs):
         # double the boundary time slabs (half-cells)
         b = b.at[0].mul(2.0).at[-1].mul(2.0)
         ax = 1 + a
-        n_a = geom.space[a]
-        lo = jax.lax.slice_in_dim(b, 0, n_a - 2, axis=ax)
-        hi = jax.lax.slice_in_dim(b, 1, n_a - 1, axis=ax)
+        n_faces = b.shape[ax]
+        lo = jax.lax.slice_in_dim(b, 0, n_faces - 1, axis=ax)
+        hi = jax.lax.slice_in_dim(b, 1, n_faces, axis=ax)
         mid = 0.5 * (lo + hi)
         pad = [(0, 0)] * b.ndim
         pad[ax] = (1, 1)
@@ -278,24 +269,62 @@ def recover_rho_e(lv: LevelVar):
     return rho, Es
 
 
-def recover_q_centered(lv: LevelVar):
-    """(q0, b_1..b_d) on the cell-centered / time-staggered grid
-    (``recover_q.m``)."""
-    geom = lv.geom
-    q0 = lv.q.q0
+def _q_centered_body(q: Staggered):
+    """Traceable body of recover_q_centered (``recover_q.m``)."""
+    q0 = q.q0
     bs = []
-    for a in range(geom.ndim_space):
-        b = lv.q.bs[a]
+    for a, b in enumerate(q.bs):
         ax = 1 + a
-        n_a = geom.space[a]
-        lo = jax.lax.slice_in_dim(b, 0, n_a - 2, axis=ax)
-        hi = jax.lax.slice_in_dim(b, 1, n_a - 1, axis=ax)
+        n_faces = b.shape[ax]
+        lo = jax.lax.slice_in_dim(b, 0, n_faces - 1, axis=ax)
+        hi = jax.lax.slice_in_dim(b, 1, n_faces, axis=ax)
         mid = 0.5 * (lo + hi)
         pad = [(0, 0)] * b.ndim
         pad[ax] = (1, 1)
         b_cc = jnp.pad(mid, pad)
         bs.append(0.5 * (b_cc[:-1] + b_cc[1:]))
     return q0, bs
+
+
+def recover_rho_e(lv: LevelVar):
+    """(rho, E_1..E_d) from the multiplier alpha: alpha's q0-block is the
+    density on time-staggered cells, its face blocks are the momentum."""
+    alpha = lv.alpha if lv.weight is None else lv.weight * lv.alpha
+    dtype = alpha.q0.dtype
+    return _rho_e_body(
+        jnp.asarray(lv.rho0, dtype), jnp.asarray(lv.rho1, dtype), alpha
+    )
+
+
+def recover_q_centered(lv: LevelVar):
+    """(q0, b_1..b_d) on the cell-centered / time-staggered grid
+    (``recover_q.m``)."""
+    return _q_centered_body(lv.q)
+
+
+@jax.jit
+def _recover_all_jit(rho0, rho1, alpha, q):
+    rho, Es = _rho_e_body(rho0, rho1, alpha)
+    q0, bs = _q_centered_body(q)
+    axes = tuple(range(1, rho.ndim))
+    n = math.prod(rho.shape[1:])
+    mass = jnp.sum(rho, axis=axes) / n
+    neg = jnp.sum(jnp.where(rho < 0, rho, 0.0), axis=axes) / n
+    err = jnp.maximum(jnp.max(jnp.abs(mass - 1.0)), jnp.max(jnp.abs(neg)))
+    return rho, Es, q0, bs, err
+
+
+def recover_solution(lv: LevelVar, tol: float = 1e-2):
+    """One-dispatch recovery of (rho, E, q0, b) + the mass-conservation
+    check (``recover_RhoE.m``/``recover_q.m``/``check_massConservation.m``)
+    — a dozen eager ops otherwise, each a round-trip on the tunneled TPU.
+    Arrays stay on device; only the scalar mass error is transferred."""
+    alpha = lv.alpha if lv.weight is None else lv.weight * lv.alpha
+    dtype = alpha.q0.dtype
+    rho, Es, q0, bs, err = _recover_all_jit(
+        jnp.asarray(lv.rho0, dtype), jnp.asarray(lv.rho1, dtype), alpha, lv.q
+    )
+    return rho, Es, q0, bs, bool(float(jax.device_get(err)) <= tol)
 
 
 def check_mass_conservation(rho, tol: float = 1e-2, verbose: bool = False) -> bool:

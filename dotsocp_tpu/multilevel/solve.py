@@ -492,10 +492,10 @@ def solve_dot(
 
     total_time = time.monotonic() - t_start
 
-    # recover solution
-    rho, Es = recover_rho_e(lv)
-    q0, bs = recover_q_centered(lv)
-    mass_ok = check_mass_conservation(np.asarray(rho))
+    # recover solution + mass check, one device dispatch
+    from .level import recover_solution
+
+    rho, Es, q0, bs, mass_ok = recover_solution(lv)
     if not mass_ok and verbose:
         print("WARNING: mass conservation violation exceeds 1e-2")
 
