@@ -84,24 +84,38 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
         "multiplier": _nbytes(state.phi) + q_bytes * 3 + _nbytes(state.z) * 4,
     }
 
-    fns = {
-        "phi_dct_solve": jax.jit(phi_step),
-        "cone_projection": jax.jit(z_step),
-        "q_step": jax.jit(q_step),
-        "multiplier": jax.jit(mult_step),
-        "kkt_battery": kernels.kkt,
-        "full_step_fused": jax.jit(kernels._step),
+    # each phase chained through the state inside one fori_loop so the
+    # measurement amortizes host dispatch (a single call costs ~1 ms of
+    # RPC latency over the tunneled TPU — more than most phases compute)
+    # feedback targets are chosen so each phase's output is consumed by its
+    # own inputs next iteration (otherwise XLA hoists the loop-invariant
+    # phase out of the fori_loop and the timing collapses to zero)
+    def _mult_chain(s):
+        alpha, beta, _ = mult_step(s)
+        return s._replace(alpha=alpha, beta=beta)
+
+    chained = {
+        "phi_dct_solve": lambda s: s._replace(c=phi_step(s)),   # c is an input
+        "cone_projection": lambda s: s._replace(z2=z_step(s)),  # z2 is an input
+        "q_step": lambda s: s._replace(alpha=q_step(s)),        # alpha is an input
+        "multiplier": _mult_chain,
+        "kkt_battery": lambda s: s._replace(
+            sigma=s.sigma + 0.0 * kernels._kkt(s)["pdGap"].astype(s.sigma.dtype)
+        ),
+        "full_step_fused": kernels._step,
     }
 
     roof = _roofline()
     out = {}
-    for name, fn in fns.items():
-        r = fn(state)
-        jax.block_until_ready(r)  # compile + warm
+    for name, fn in chained.items():
+        loop = jax.jit(
+            lambda s, f=fn: jax.lax.fori_loop(0, iters, lambda _, st: f(st), s)
+        )
+        r = loop(state)
+        jax.block_until_ready(jax.tree.leaves(r)[0])  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(state)
-        jax.block_until_ready(r)
+        r = loop(state)
+        jax.block_until_ready(jax.tree.leaves(r)[0])
         dt = (time.perf_counter() - t0) / iters
         row = {"ms": dt * 1e3}
         nb = phase_bytes.get(name)

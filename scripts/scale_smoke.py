@@ -15,7 +15,9 @@ nt = 65
 rho0, rho1 = get_example_2d("example2", nx, ny)
 lv = initialize(rho0, rho1, nt, dtype=jnp.float32)
 initial_scaling(lv, scaling=True)
-cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=1.9, dtype=jnp.float32)
+layout = sys.argv[1] if len(sys.argv) > 1 else "flat"
+cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=1.9, dtype=jnp.float32,
+                  layout=layout)
 k = InPALMKernels(cfg)
 s = k.prep(lv.as_dict(), sigma=1.0)
 print("state bytes:", sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(s)) / 1e9, "GB")
@@ -28,6 +30,6 @@ for _ in range(3):
     r = seg(r)
 jax.block_until_ready(r)
 dt = (time.time() - t0) / 30
-print(f"per-iteration at 513x513x65 f32: {dt*1e3:.1f} ms")
+print(f"per-iteration at 513x513x65 f32 ({layout}): {dt*1e3:.1f} ms")
 res = jax.device_get(k.kkt(r)["kkt_org"])
 print("kkt after 40 iters:", res)
