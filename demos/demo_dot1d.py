@@ -28,6 +28,11 @@ def main():
                     help="run in float64 (default: the reference 1D tol of "
                          "1e-5 is below float32 reach)")
     ap.add_argument("--f32", dest="f64", action="store_false")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed precision: f32 multilevel to 1e-4, then a "
+                         "float64 refinement tail to --tol on the finest "
+                         "level (the fast route to tol<=1e-5 on TPU, where "
+                         "f64 is emulated ~20x slower than f32)")
     ap.add_argument("--plot", default=None, help="save evolution plot to path")
     args = ap.parse_args()
 
@@ -35,7 +40,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.f64:
+    if args.f64 or args.mixed:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -44,9 +49,15 @@ def main():
     from dotsocp_tpu.multilevel.level import check_mass_conservation
 
     rho0, rho1 = get_example_1d(args.problem, args.nx)
+    if args.mixed:
+        opts = {"tol": max(args.tol, 1e-4), "maxit": args.maxit,
+                "refine_tol": args.tol}
+        dtype = jnp.float32
+    else:
+        opts = {"tol": args.tol, "maxit": args.maxit}
+        dtype = None
     out, hml, h = solve_dot(
-        rho0, rho1, args.nt, args.levels,
-        {"tol": args.tol, "maxit": args.maxit}, args.method,
+        rho0, rho1, args.nt, args.levels, opts, args.method, dtype=dtype,
     )
     print("=" * 64)
     print(f"Mass conservation: {'OK' if out['mass_ok'] else 'VIOLATED'}")

@@ -490,6 +490,68 @@ def solve_dot(
                 weights[lev + 1],
             )
 
+    # mixed-precision refinement: continue the finest level in float64 to a
+    # tighter tolerance. TPU f64 is software-emulated (~20x an f32
+    # iteration) but the multilevel f32 solve already did the bulk of the
+    # work, so only the tail below the f32 floor (~1e-4) runs in f64. This
+    # is the supported route to reference-grade tolerances (1e-5/1e-6) on
+    # TPU; absent from the reference (MATLAB is all-double).
+    refine_tol = opts.get("refine_tol")
+    if refine_tol is not None:
+        import jax as _jax
+
+        if not _jax.config.jax_enable_x64:
+            raise ValueError(
+                "refine_tol needs float64: enable x64 before any jax op "
+                "(jax.config.update('jax_enable_x64', True))"
+            )
+        refine_dtype = opts.get("refine_dtype", jnp.float64)
+        time_limit -= out["solve_time"]
+        sigma = 10.0 ** (math.log10(sigma * out["sigma_out"]) / 2.0)
+        last_kkt = hist["kkt"][-1]
+        # same-geometry warm restart: keep (phi, q, z, alpha, beta), rebuild
+        # c (recover_org_var does not unscale it — the normal flow rebuilds
+        # it at every level jump), then re-run InitialScaling with E2
+        # feedback; the solver's prep casts to f64
+        ht = jnp.asarray(lv.geom.ht, lv.phi.dtype)
+        c_new = jnp.zeros(lv.geom.phi_shape, lv.phi.dtype)
+        c_new = c_new.at[0].set(-jnp.asarray(rho0s[-1], lv.phi.dtype) / ht)
+        c_new = c_new.at[-1].set(jnp.asarray(rho1s[-1], lv.phi.dtype) / ht)
+        lv.c = c_new
+        initial_scaling(lv, scaling, last_kkt, prev_e2)
+        prev_e2 = lv.E2
+        o = SolveOptions(
+            tol=float(refine_tol), maxit=maxit, sigma=sigma, tau=tau,
+            time_limit=time_limit, scaling=scaling,
+            check_step_by_step=check_sbs, check_prim_dual_feas=check_pdf,
+            restart=int(opts.get("restart", 100)),
+            rho=float(opts.get("rho", 2.0)),
+            theta=float(opts.get("theta", 2.0)),
+        )
+        solver = _build_solver(method, lv, o, refine_dtype,
+                               driver=str(opts.get("driver", "auto")),
+                               device_kw=device_kw,
+                               reuse=bool(opts.get("reuse_solvers", True)),
+                               layout=str(opts.get("layout", "auto")))
+        hist, out = solver.solve(lv.as_dict())
+        hist["method"] = solver.name + " (f64 refine)"
+        hists.append(hist)
+        recover_org_var(lv, out)
+        level_reports.append({
+            "level": level_n,
+            "geom": lv.geom,
+            "iters": out["iters"],
+            "time": out["solve_time"],
+            "method": hist["method"],
+            "refine": True,
+        })
+        if verbose:
+            print(
+                f"f64 refine (tol={refine_tol:g}): {out['iters']} iters, "
+                f"{out['solve_time']:.2f}s, final KKT "
+                f"max={np.max(hist['kkt'][-1][[0, 2, 5]]):.2e}"
+            )
+
     total_time = time.monotonic() - t_start
 
     # recover solution + mass check, one device dispatch

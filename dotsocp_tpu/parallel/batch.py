@@ -280,7 +280,8 @@ def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
             initial_scaling(lv, scaling=o.scaling)
             if kernels is None:
                 cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=o.tau,
-                                  dtype=dtype)
+                                  dtype=dtype,
+                                  layout=str(opts.get("layout", "flat")))
                 kernels = kcls(cfg)
             states.append(kernels.prep(lv.as_dict(), float(sigma_b[b])))
             lvs.append(lv)
