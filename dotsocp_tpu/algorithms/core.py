@@ -98,6 +98,13 @@ class LevelConfig:
     # flattened into one lane-packed axis (the single-chip fast path —
     # see ops/engine.py for why 2^k+1 grids pay ~2x HBM otherwise)
     layout: str = "3d"
+    # Whether the cached z2 = BFd(q) is carried in SolverState. z2 is
+    # derivable from q (same op, same inputs — equal to FMA-contraction
+    # noise), so carrying it costs a full z-sized HBM write + read per
+    # iteration (~1.3 GB/iter at 513^2x65 f32) for nothing; the recompute
+    # fuses into its consumers. None = auto (False). Set True to reproduce
+    # the pre-decarry state layout (e.g. old checkpoints).
+    carry_z2: Optional[bool] = None
 
 
 class Kernels:
@@ -111,6 +118,7 @@ class Kernels:
         geom = cfg.geom
         dtype = cfg.dtype
         self.geom = geom
+        self.carry_z2 = (cfg.carry_z2 if cfg.carry_z2 is not None else False)
         self.ops = make_ops(geom, dtype, cfg.layout)
         self.poisson = self.ops.make_poisson(cfg.D)
         if weight is None or not cfg.weighted:
@@ -127,6 +135,18 @@ class Kernels:
         """Multiply by the diagonal weight D_w (identity when unweighted)."""
         return x if self.weight is None else self.weight * x
 
+    def _z2_cur(self, s: SolverState):
+        """Current z2 = scale_bf*(BF q) + (E/dScale)*d: the cached carry, or
+        a bitwise-identical recompute from q when the carry is dropped
+        (XLA fuses the recompute into its consumers — no extra HBM pass)."""
+        if self.carry_z2:
+            return s.z2
+        return self.ops.bfd(s.q, self.scale_bf, self.cfg.E / s.dScale)
+
+    def _keep_z2(self, z2):
+        """What to store in the state's z2 slot."""
+        return z2 if self.carry_z2 else None
+
     # -- core iteration --------------------------------------------------
     def _step(self, s: SolverState) -> SolverState:
         """One inPALM/PALM-family iteration (``solver_socp_inPALM.m:192-216``;
@@ -136,8 +156,8 @@ class Kernels:
         # phi-step: D^2 A0^T A0 phi = D A0^T (w.q - alpha) + c   (DCT solve)
         rhs = cfg.D * ops.grad_T(self._w(s.q) - s.alpha) + s.c
         phi = self.poisson.solve(rhs)
-        # z-step: cone projection of the cached BFd(q) minus beta
-        z = proj_soc(s.z2 - s.beta)
+        # z-step: cone projection of BFd(q) minus beta
+        z = proj_soc(self._z2_cur(s) - s.beta)
         # q-step: diagonal solve
         tmp_q = cfg.D * ops.grad(phi)
         q2 = ops.bfd_T(z + s.beta, self.scale_bf)
@@ -148,7 +168,8 @@ class Kernels:
         resi_beta = z - z2
         alpha = s.alpha + cfg.tau * resi_alpha
         beta = s.beta + cfg.tau * resi_beta
-        return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta, z2=z2)
+        return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta,
+                          z2=self._keep_z2(z2))
 
     def _build(self):
         step = self._step
@@ -201,7 +222,8 @@ class Kernels:
 
         tmp_q = cfg.D * ops.grad(s.phi)
         resi_alpha = tmp_q - self._w(s.q)
-        resi_beta = s.z - s.z2
+        z2 = self._z2_cur(s)
+        resi_beta = s.z - z2
         q2b = ops.bfd_T(s.beta, self.scale_bf)
         d_alpha = self._w(s.alpha)
 
@@ -218,7 +240,7 @@ class Kernels:
         dual_fea2 = s.sigma * norm_l2(q2b + d_alpha, h)
         complem = norm_l2(s.z - proj_soc(s.z - s.sigma * s.beta), h)
 
-        dc = self._dot_complement(s, d_alpha)
+        dc = self._dot_complement(s, d_alpha, z2)
 
         E_over_dscale = cfg.E / s.dScale
         if cfg.weighted:
@@ -274,7 +296,7 @@ class Kernels:
         }
         return out
 
-    def _dot_complement(self, s: SolverState, d_alpha: Staggered):
+    def _dot_complement(self, s: SolverState, d_alpha: Staggered, z2):
         """Original-DOT complementarity residuals
         (``socp/dot2d/utils/compute_kkt_dot_complement.m``; weighted variant
         substitutes D_w alpha)."""
@@ -284,7 +306,7 @@ class Kernels:
         d = geom.ndim_space
 
         rho_t = (s.sigma * s.cScale * cfg.D) * d_alpha.q0
-        b_cols = s.z2[1 : 1 + 4 * d]
+        b_cols = z2[1 : 1 + 4 * d]
         rho_fq = (
             rho_t
             + (s.dScale / cfg.D) * s.q.q0
@@ -342,7 +364,8 @@ class Kernels:
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+        z2 = (self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+              if self.carry_z2 else None)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),
             c=s.c * r,
@@ -374,7 +397,8 @@ class Kernels:
         alpha = ops.stag_to_internal(alpha)
         beta = ops.z_to_internal(beta)
         c = ops.phi_to_internal(c)
-        z2 = ops.bfd(q, self.scale_bf, self.cfg.E / d_scale)
+        z2 = (ops.bfd(q, self.scale_bf, self.cfg.E / d_scale)
+              if self.carry_z2 else None)
         return SolverState(
             phi=phi + 0.0,
             q=jax.tree.map(lambda x: x + 0.0, q),

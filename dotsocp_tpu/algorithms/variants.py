@@ -64,7 +64,7 @@ class PALMKernels(Kernels):
             z=z,
             alpha=s.alpha + cfg.tau * resi_alpha,
             beta=s.beta + cfg.tau * resi_beta,
-            z2=z2,
+            z2=self._keep_z2(z2),
         )
 
     def prep(self, var, sigma):
@@ -146,7 +146,8 @@ class AccADMMKernels(Kernels):
         phi = self.poisson.solve(rhs)
         # step z
         z = proj_soc(z2 - beta)
-        return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta, z2=z2)
+        return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta,
+                          z2=self._keep_z2(z2))
 
     def _halpern(self, e: AccState) -> AccState:
         """x <- 1/(k+2) x0 + (k+1)/(k+2) ((1-rho) x_old + rho x), k += 1,
@@ -213,7 +214,8 @@ class AccADMMKernels(Kernels):
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+        z2 = (self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+              if self.carry_z2 else None)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),
             c=s.c * r,
@@ -367,18 +369,19 @@ class AccSgsADMMKernels(AccADMMKernels):
         # step phi: one symmetric red-black sweep
         rhs = cfg.D * ops.grad_T(self._w(q) - alpha) + s.c
         phi = self.sgs_op.sweep(s.phi, rhs, self.sgs_its)
-        s2 = s._replace(phi=phi, q=q, alpha=alpha, beta=beta, z2=z2)
-        return s2, rhs
+        s2 = s._replace(phi=phi, q=q, alpha=alpha, beta=beta,
+                        z2=self._keep_z2(z2))
+        return s2, rhs, z2
 
     def _step(self, s: SolverState) -> SolverState:
-        s2, _ = self._step_parts(s)
-        return s2._replace(z=proj_soc(s2.z2 - s2.beta))
+        s2, _, z2 = self._step_parts(s)
+        return s2._replace(z=proj_soc(z2 - s2.beta))
 
     def _step_instrumented(self, s: SolverState, with_feas: bool):
         h = self.geom.h
-        s2, rhs = self._step_parts(s)
+        s2, rhs, z2 = self._step_parts(s)
         resi_sgs = self.sgs_op.residual_color_a_norm(s2.phi, rhs, h)
-        s2 = s2._replace(z=proj_soc(s2.z2 - s2.beta))
+        s2 = s2._replace(z=proj_soc(z2 - s2.beta))
         aux = {"resi_sgs": resi_sgs}
         if with_feas:
             aux.update(self._feas_pair(s2))
@@ -478,7 +481,7 @@ class SgsKernels(Kernels):
     def _step_from_phi(self, s: SolverState, phi) -> SolverState:
         cfg = self.cfg
         ops = self.ops
-        z = proj_soc(s.z2 - s.beta)
+        z = proj_soc(self._z2_cur(s) - s.beta)
         tmp_q = cfg.D * ops.grad(phi)
         q2 = ops.bfd_T(z + s.beta, self.scale_bf)
         q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
@@ -491,7 +494,7 @@ class SgsKernels(Kernels):
             z=z,
             alpha=s.alpha + cfg.tau * resi_alpha,
             beta=s.beta + cfg.tau * resi_beta,
-            z2=z2,
+            z2=self._keep_z2(z2),
         )
 
     def _step(self, s: SolverState) -> SolverState:
@@ -577,7 +580,8 @@ class SgsKernels(Kernels):
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+        z2 = (self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+              if self.carry_z2 else None)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),
             c=s.c * r,

@@ -58,13 +58,14 @@ def _maybe_batch(spec: P, batched: bool) -> P:
     return P("batch", *spec) if batched else P(*spec)
 
 
-def state_shardings(mesh: Mesh, batched: bool = True) -> SolverState:
+def state_shardings(mesh: Mesh, batched: bool = True,
+                    carry_z2: bool = False) -> SolverState:
     """NamedSharding pytree for a (possibly batch-leading) SolverState.
 
     Layouts: centered/staggered fields shard (y, x) on their trailing
     spatial axes; the cone-column and time axes stay local; scalars are
-    replicated.
-    """
+    replicated. ``carry_z2`` must match the kernels' flag (states built by
+    kernels with ``carry_z2=False`` hold None in the z2 slot)."""
     ndim_space = len([a for a in ("y", "x") if a in mesh.axis_names])
 
     def sh(*spec):
@@ -88,7 +89,7 @@ def state_shardings(mesh: Mesh, batched: bool = True) -> SolverState:
         z=zlike,
         alpha=stag,
         beta=zlike,
-        z2=zlike,
+        z2=zlike if carry_z2 else None,
         c=centered,
         sigma=scalar,
         cScale=scalar,
@@ -113,7 +114,8 @@ def make_sharded_step(kernels, mesh: Mesh, batched: bool = True):
     """Jit the solver step with batch + spatial shardings annotated on the
     state; XLA's SPMD partitioner inserts the halo exchanges for the
     stencils and the collectives for the distributed DCT matmuls."""
-    sh = state_shardings(mesh, batched)
+    sh = state_shardings(mesh, batched,
+                         carry_z2=getattr(kernels, "carry_z2", True))
     step = jax.vmap(kernels._step) if batched else kernels._step
 
     @jax.jit

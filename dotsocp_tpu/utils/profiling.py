@@ -52,6 +52,16 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
     ops = kernels.ops
     wmul = kernels._w
 
+    # kernels that drop the z2 carry (carry_z2=False) hold None in the
+    # state slot; the standalone phase measurements want it materialized,
+    # while the fused-step measurement must match the kernel's structure
+    carry = getattr(kernels, "carry_z2", True)
+    state_full = state if carry else state._replace(z2=None)
+    if state.z2 is None:
+        state = state._replace(
+            z2=ops.bfd(state.q, kernels.scale_bf, cfg.E / state.dScale)
+        )
+
     def phi_step(s):
         rhs = cfg.D * ops.grad_T(wmul(s.q) - s.alpha) + s.c
         return kernels.poisson.solve(rhs)
@@ -111,10 +121,10 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
         loop = jax.jit(
             lambda s, f=fn: jax.lax.fori_loop(0, iters, lambda _, st: f(st), s)
         )
-        r = loop(state)
+        r = loop(state_full if name == "full_step_fused" else state)
         jax.block_until_ready(jax.tree.leaves(r)[0])  # compile + warm
         t0 = time.perf_counter()
-        r = loop(state)
+        r = loop(state_full if name == "full_step_fused" else state)
         jax.block_until_ready(jax.tree.leaves(r)[0])
         dt = (time.perf_counter() - t0) / iters
         row = {"ms": dt * 1e3}

@@ -74,7 +74,6 @@ def test_full_step_matches_native_oracle():
     a0, aby, abx = (np.asarray(s.alpha.q0), np.asarray(s.alpha.bs[0]),
                     np.asarray(s.alpha.bs[1]))
     beta = np.asarray(s.beta)
-    z2 = np.asarray(s.z2)
     c = np.asarray(s.c)
     solve = _np_poisson_solver(geom, cfg.D)
     diag_q0 = np.asarray(k.diag_q_inv.q0)
@@ -83,6 +82,9 @@ def test_full_step_matches_native_oracle():
     scale_bf = k.scale_bf
     scale_d = cfg.E / float(np.asarray(s.dScale))
     tau = cfg.tau
+    # z2 is no longer carried in SolverState (carry_z2=False default);
+    # rebuild the cached gather from q exactly as the kernel does
+    z2 = native.bfd2d(q0, by, bx, nt, ny, nx, scale_bf, scale_d)
 
     for _ in range(3):
         # phi-step
