@@ -41,7 +41,7 @@ from ..utils.norms import norm_l2
 PACK_SCALARS = [
     "priVal", "dualVal", "pdGap", "normPhi", "normQ", "normZ",
     "normAlpha", "normBeta", "normAphi", "norm_c_state", "cScale",
-    "dScale", "sigma",
+    "dScale", "sigma", "D", "E",
 ]
 
 
@@ -80,11 +80,25 @@ class SolverState(NamedTuple):
     norm_c: jax.Array       # scalar
     norm_d: jax.Array       # scalar
     sigmaScale: jax.Array   # scalar, product of sigma rescale factors
+    # level scaling constants (``InitialScaling``). Traced -- NOT baked into
+    # the executable -- so one compiled chunk serves every problem instance
+    # with the same shapes: E carries the data-dependent E2 feedback
+    # (``solver_dotsocp2d.m:308-318``), and re-traces per level/problem would
+    # cost minutes each through the axon remote compiler.
+    D: jax.Array            # scalar
+    E: jax.Array            # scalar
+    diag_q_inv: Staggered   # 1 / diag(D_w^2 + (E/D)^2 F*B*BF), from (D, E)
 
 
 @dataclasses.dataclass(frozen=True)
 class LevelConfig:
-    """Static (compile-time) configuration of one level's kernels."""
+    """Static (compile-time) configuration of one level's kernels.
+
+    D and E are *defaults* recorded for bookkeeping: the kernels read the
+    traced copies in :class:`SolverState` (set by ``prep`` from the level
+    variables), so executables depend only on shapes/dtype/method — not on
+    the per-level scaling values. The sole exception is the Pallas sGS
+    sweep (``use_pallas``), which bakes D into its kernel."""
 
     geom: Geometry
     D: float
@@ -120,20 +134,27 @@ class Kernels:
         self.geom = geom
         self.carry_z2 = (cfg.carry_z2 if cfg.carry_z2 is not None else False)
         self.ops = make_ops(geom, dtype, cfg.layout)
-        self.poisson = self.ops.make_poisson(cfg.D)
+        # unit-D build: the solve multiplies by the traced 1/D^2 at use time
+        self.poisson = self.ops.make_poisson(1.0)
         if weight is None or not cfg.weighted:
             self.weight = None
-            diag = self.ops.oper_q_diag(cfg.D, cfg.E, None)
         else:
             self.weight = self.ops.weight_to_internal(weight.astype(dtype))
-            diag = self.ops.oper_q_diag(cfg.D, cfg.E, self.weight)
-        self.diag_q_inv = jax.tree.map(lambda x: 1.0 / x, diag)
-        self.scale_bf = cfg.E / cfg.D
         self._build()
 
     def _w(self, x):
         """Multiply by the diagonal weight D_w (identity when unweighted)."""
         return x if self.weight is None else self.weight * x
+
+    def _diag_q_inv(self, D, E):
+        """1 / diag of the q-step system from traced (D, E) — evaluated once
+        per prep, carried in the state."""
+        diag = self.ops.oper_q_diag(D, E, self.weight)
+        return jax.tree.map(lambda x: 1.0 / x, diag)
+
+    def _poisson_solve(self, s: SolverState, rhs):
+        """phi-step DCT solve of D^2 A^T A phi = rhs with traced D."""
+        return self.poisson.solve(rhs, scale=1.0 / (s.D * s.D))
 
     def _z2_cur(self, s: SolverState):
         """Current z2 = scale_bf*(BF q) + (E/dScale)*d: the cached carry, or
@@ -141,7 +162,7 @@ class Kernels:
         (XLA fuses the recompute into its consumers — no extra HBM pass)."""
         if self.carry_z2:
             return s.z2
-        return self.ops.bfd(s.q, self.scale_bf, self.cfg.E / s.dScale)
+        return self.ops.bfd(s.q, s.E / s.D, s.E / s.dScale)
 
     def _keep_z2(self, z2):
         """What to store in the state's z2 slot."""
@@ -153,17 +174,18 @@ class Kernels:
         weighted variant ``solver_wsocp_inPALM.m:198-222``)."""
         cfg = self.cfg
         ops = self.ops
+        sbf = s.E / s.D
         # phi-step: D^2 A0^T A0 phi = D A0^T (w.q - alpha) + c   (DCT solve)
-        rhs = cfg.D * ops.grad_T(self._w(s.q) - s.alpha) + s.c
-        phi = self.poisson.solve(rhs)
+        rhs = s.D * ops.grad_T(self._w(s.q) - s.alpha) + s.c
+        phi = self._poisson_solve(s, rhs)
         # z-step: cone projection of BFd(q) minus beta
         z = proj_soc(self._z2_cur(s) - s.beta)
         # q-step: diagonal solve
-        tmp_q = cfg.D * ops.grad(phi)
-        q2 = ops.bfd_T(z + s.beta, self.scale_bf)
-        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
+        tmp_q = s.D * ops.grad(phi)
+        q2 = ops.bfd_T(z + s.beta, sbf)
+        q = (self._w(tmp_q + s.alpha) + q2) * s.diag_q_inv
         # multiplier step
-        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        z2 = ops.bfd(q, sbf, s.E / s.dScale)
         resi_alpha = tmp_q - self._w(q)
         resi_beta = z - z2
         alpha = s.alpha + cfg.tau * resi_alpha
@@ -220,11 +242,11 @@ class Kernels:
         h = geom.h
         kkt_const = 1.0
 
-        tmp_q = cfg.D * ops.grad(s.phi)
+        tmp_q = s.D * ops.grad(s.phi)
         resi_alpha = tmp_q - self._w(s.q)
         z2 = self._z2_cur(s)
         resi_beta = s.z - z2
-        q2b = ops.bfd_T(s.beta, self.scale_bf)
+        q2b = ops.bfd_T(s.beta, s.E / s.D)
         d_alpha = self._w(s.alpha)
 
         norm_q = norm_l2(s.q, h)
@@ -236,13 +258,13 @@ class Kernels:
 
         prim_fea1 = norm_l2(resi_alpha, h)
         prim_fea2 = norm_l2(resi_beta, h)
-        dual_fea1 = s.sigma * norm_l2(cfg.D * ops.grad_T(s.alpha) - s.c, h)
+        dual_fea1 = s.sigma * norm_l2(s.D * ops.grad_T(s.alpha) - s.c, h)
         dual_fea2 = s.sigma * norm_l2(q2b + d_alpha, h)
         complem = norm_l2(s.z - proj_soc(s.z - s.sigma * s.beta), h)
 
         dc = self._dot_complement(s, d_alpha, z2)
 
-        E_over_dscale = cfg.E / s.dScale
+        E_over_dscale = s.E / s.dScale
         if cfg.weighted:
             # wdot2d denominator for residual 2 (``solver_wsocp_inPALM.m``)
             denom2 = kkt_const * E_over_dscale + norm_q + norm_z
@@ -250,12 +272,12 @@ class Kernels:
             denom2 = kkt_const * E_over_dscale + s.norm_d
         kkt_org = jnp.stack(
             [
-                prim_fea1 / (kkt_const * cfg.D / s.dScale + norm_aphi + norm_q),
+                prim_fea1 / (kkt_const * s.D / s.dScale + norm_aphi + norm_q),
                 prim_fea2 / denom2,
                 dual_fea1 / (kkt_const / s.cScale + s.norm_c),
                 complem / (kkt_const * E_over_dscale + norm_z + norm_beta),
                 dual_fea2
-                / (kkt_const / s.cScale / cfg.D + norm_fbbeta + norm_alpha),
+                / (kkt_const / s.cScale / s.D + norm_fbbeta + norm_alpha),
                 dc["dotcomplem"] / (kkt_const + dc["normRho"] + dc["norm_rhoFq"]),
                 dc["mRhoB"] / (kkt_const + dc["normM"] + dc["normRhoB"]),
             ]
@@ -293,6 +315,8 @@ class Kernels:
             "cScale": s.cScale,
             "dScale": s.dScale,
             "sigma": s.sigma,
+            "D": s.D,
+            "E": s.E,
         }
         return out
 
@@ -305,12 +329,12 @@ class Kernels:
         h = geom.h
         d = geom.ndim_space
 
-        rho_t = (s.sigma * s.cScale * cfg.D) * d_alpha.q0
+        rho_t = (s.sigma * s.cScale * s.D) * d_alpha.q0
         b_cols = z2[1 : 1 + 4 * d]
         rho_fq = (
             rho_t
-            + (s.dScale / cfg.D) * s.q.q0
-            + jnp.sum(jnp.square((s.dScale / cfg.E) * b_cols), axis=0) / 4.0
+            + (s.dScale / s.D) * s.q.q0
+            + jnp.sum(jnp.square((s.dScale / s.E) * b_cols), axis=0) / 4.0
         )
         rho_fq = jnp.maximum(rho_fq, 0.0)
 
@@ -330,8 +354,8 @@ class Kernels:
             # face-interpolated rho; any flat ghost garbage is annihilated
             # by the ghost-zero face arrays it multiplies
             rho_face = self.ops.face_interp(rho_nodes, a)
-            rho_b = (s.dScale / cfg.D) * rho_face * s.q.bs[a]
-            m_a = (s.sigma * s.cScale * cfg.D) * d_alpha.bs[a]
+            rho_b = (s.dScale / s.D) * rho_face * s.q.bs[a]
+            m_a = (s.sigma * s.cScale * s.D) * d_alpha.bs[a]
             m_sq = m_sq + h * jnp.sum(jnp.square(m_a))
             rb_sq = rb_sq + h * jnp.sum(jnp.square(rho_b))
             diff_sq = diff_sq + h * jnp.sum(jnp.square(m_a - rho_b))
@@ -360,11 +384,10 @@ class Kernels:
         """Dynamic rescaling of the whole iterate
         (``solver_socp_inPALM.m:163-189``). phi is intentionally not scaled
         (it is overwritten by the next phi-step), matching the reference."""
-        cfg = self.cfg
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = (self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+        z2 = (self.ops.bfd(q, s.E / s.D, s.E / d_scale)
               if self.carry_z2 else None)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),
@@ -383,7 +406,7 @@ class Kernels:
 
     # -- lifecycle -------------------------------------------------------
     def _prep_impl(self, phi, q, z, alpha, beta, c, sigma, c_scale, d_scale,
-                   norm_c, norm_d):
+                   norm_c, norm_d, D, E):
         """Jitted state assembly: convert to the kernel layout, divide
         alpha/beta/c by sigma, and cache z2. One device dispatch instead of
         ~10 eager ops — the level plumbing stays on the host (see
@@ -397,7 +420,7 @@ class Kernels:
         alpha = ops.stag_to_internal(alpha)
         beta = ops.z_to_internal(beta)
         c = ops.phi_to_internal(c)
-        z2 = (ops.bfd(q, self.scale_bf, self.cfg.E / d_scale)
+        z2 = (ops.bfd(q, E / D, E / d_scale)
               if self.carry_z2 else None)
         return SolverState(
             phi=phi + 0.0,
@@ -413,11 +436,15 @@ class Kernels:
             norm_c=norm_c,
             norm_d=norm_d,
             sigmaScale=jnp.ones_like(sigma),
+            D=D,
+            E=E,
+            diag_q_inv=self._diag_q_inv(D, E),
         )
 
     def prep(self, var, sigma: float) -> SolverState:
         """Build the iteration state from level variables (already through
-        InitialScaling)."""
+        InitialScaling). ``var`` must carry the level's D and E (see
+        ``LevelVar.as_dict``); defaults fall back to the config's values."""
         dtype = self.cfg.dtype
         if not hasattr(self, "_prep_jit"):
             self._prep_jit = jax.jit(self._prep_impl)
@@ -434,6 +461,7 @@ class Kernels:
             to(var["phi"]), to(var["q"]), to(var["z"]), to(var["alpha"]),
             to(var["beta"]), to(var["c"]), sc(sigma), sc(var["cScale"]),
             sc(var["dScale"]), sc(var["norm_c"]), sc(var["norm_d"]),
+            sc(var.get("D", self.cfg.D)), sc(var.get("E", self.cfg.E)),
         )
 
     def _finalize_impl(self, s: SolverState):

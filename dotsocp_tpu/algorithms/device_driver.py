@@ -81,6 +81,9 @@ class LoopState(NamedTuple):
     hist: jax.Array           # (H, 9): 7 kkt_org + pdGap + iter
     hist_n: jax.Array         # i32
     stage3_next: jax.Array    # next periodic rescale-eval iteration (i32)
+    tol: jax.Array            # f32 stopping tolerance (traced: the tol
+                              # pyramid changes it per level, and baking it
+                              # would force a recompile per level)
 
 
 class DeviceDriver:
@@ -97,16 +100,46 @@ class DeviceDriver:
     def __init__(self, kernels: Kernels, opts: SolveOptions,
                  chunk_iters: int = 600, rescale_check_every: int = 100,
                  checkpoint_path: str | None = None,
-                 max_chunks: int | None = None):
+                 max_chunks: int | None = None, mesh=None):
         self.k = kernels
         self.opts = opts
         self.chunk_iters = chunk_iters
         self.rescale_check_every = rescale_check_every
         self.checkpoint_path = checkpoint_path
         self.max_chunks = max_chunks
+        # spatial domain decomposition: a jax Mesh with ('y', 'x') (2D) or
+        # ('x',) (1D) axes. The grids are 2^k + 1 (odd), which jax.Array
+        # cannot hold sharded across a jit boundary, so the chunk jit
+        # constrains the LoopState to the y/x layout at entry
+        # (GSPMD pads the last shard internally) and the whole while_loop
+        # runs partitioned: stencils become halo exchanges, KKT norms become
+        # psums, control decisions stay replicated scalars. State crosses
+        # chunk boundaries replicated (once per ~600 iterations). The
+        # reference has no parallel substrate at all (SURVEY.md section 2.5).
+        self.mesh = mesh
         hist_cap = opts.maxit // 3 + 8
         self._hist_cap = hist_cap
         self._chunk = self._build_chunk()
+        if mesh is not None:
+            self._chunk = self._wrap_mesh(self._chunk)
+
+    def _wrap_mesh(self, chunk):
+        from ..parallel.sharding import loop_state_shardings
+
+        chunk = getattr(chunk, "__wrapped__", chunk)  # unwrap the inner jit
+        mesh = self.mesh
+        carry_z2 = getattr(self.k, "carry_z2", False)
+
+        def chunk_mesh(ls, it_end):
+            sh = loop_state_shardings(ls, mesh, carry_z2=carry_z2)
+            ls = jax.tree.map(
+                lambda x, s: jax.lax.with_sharding_constraint(x, s), ls, sh
+            )
+            return chunk(ls, it_end)
+
+        if self.DONATE:
+            return partial(jax.jit, donate_argnums=0)(chunk_mesh)
+        return jax.jit(chunk_mesh)
 
     # -- algorithm hooks (overridden by the acc-ADMM driver) -------------
     def _base(self, s):
@@ -135,7 +168,6 @@ class DeviceDriver:
     def _build_chunk(self):
         opts = self.opts
         k = self.k
-        tol = opts.tol
         maxit = opts.maxit
         stop_idx = (
             jnp.array([0, 2, 5, 6]) if opts.check_prim_dual_feas
@@ -218,8 +250,8 @@ class DeviceDriver:
             )
             hist_n = jnp.minimum(ls.hist_n + 1, self._hist_cap)
 
-            done = jnp.max(kkt_org[stop_idx]) < tol
-            use_org = ls.use_feas_org | (jnp.max(kkt5) < 5.0 * tol)
+            done = jnp.max(kkt_org[stop_idx]) < ls.tol
+            use_org = ls.use_feas_org | (jnp.max(kkt5) < 5.0 * ls.tol)
 
             # sigma update at cadence points only
             adjust = (ls.it - ls.last_sigma_it) >= _cadence_gap(ls.it)
@@ -355,6 +387,7 @@ class DeviceDriver:
             hist=jnp.zeros((self._hist_cap, 9), f32),
             hist_n=jnp.zeros((), jnp.int32),
             stage3_next=jnp.asarray(self.rescale_check_every, jnp.int32),
+            tol=jnp.asarray(self.opts.tol, f32),
         )
 
     def solve(self, var):

@@ -57,6 +57,7 @@ class SgsLoopState(NamedTuple):
     stable: jax.Array          # bool (it > 2500 seen)
     stale: jax.Array           # (5,) [denom1, denom3, kkt1, kkt2, kkt5]
     resi_sgs: jax.Array        # block residual captured in the last step
+    tol: jax.Array             # f32 stopping tolerance (traced per level)
 
 
 class SgsDeviceDriver(DeviceDriver):
@@ -90,7 +91,6 @@ class SgsDeviceDriver(DeviceDriver):
     def _build_chunk(self):
         opts = self.opts
         k = self.k
-        tol = opts.tol
         maxit = opts.maxit
         scale = self._scale
         stop_idx = (
@@ -176,14 +176,14 @@ class SgsDeviceDriver(DeviceDriver):
             ring = ls.ring.at[ls.it % _RING].set(fresh)
             ls = ls._replace(ring=ring, hist=hist, hist_n=hist_n)
 
-            done = jnp.max(kkt_org[stop_idx]) < tol
-            use_org = ls.use_feas_org | (jnp.max(kkt5) < 5.0 * tol)
+            done = jnp.max(kkt_org[stop_idx]) < ls.tol
+            use_org = ls.use_feas_org | (jnp.max(kkt5) < 5.0 * ls.tol)
 
             # stale denominators for the between-check updates
             kc = 1.0
             denom1 = jnp.where(
                 use_org,
-                kc * k.cfg.D / res["dScale"] + res["normAphi"] + res["normQ"],
+                kc * res["D"] / res["dScale"] + res["normAphi"] + res["normQ"],
                 kc + res["normAphi"] + res["normQ"],
             )
             denom3 = jnp.where(
@@ -201,7 +201,7 @@ class SgsDeviceDriver(DeviceDriver):
 
             mean, prim_w, dual_w = ring_window_stats(ls)
             adjust2 = (
-                superior | (error < 5.0 * tol)
+                superior | (error < 5.0 * ls.tol)
                 | ((dual_w >= self.VICTORY) & (mean > 1))
             )
             stable = ls.stable | (adjust & adjust2 & (ls.it > 2500))
@@ -328,6 +328,7 @@ class SgsDeviceDriver(DeviceDriver):
             stable=jnp.zeros((), bool),
             stale=jnp.zeros((5,), jnp.float32),
             resi_sgs=jnp.asarray(jnp.inf, jnp.float32),
+            tol=base.tol,
         )
 
 

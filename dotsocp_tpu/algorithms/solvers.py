@@ -108,7 +108,7 @@ class SgsSolverMixin:
         kkt_const = 1.0
         if use_feas_org:
             denom1 = (
-                kkt_const * self.k.cfg.D / float(res["dScale"])
+                kkt_const * float(res["D"]) / float(res["dScale"])
                 + float(res["normAphi"])
                 + float(res["normQ"])
             )

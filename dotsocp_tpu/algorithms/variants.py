@@ -40,22 +40,23 @@ class PALMKernels(Kernels):
     def _step(self, s: SolverState) -> SolverState:
         cfg = self.cfg
         ops = self.ops
+        sbf = s.E / s.D
         # step q0: uses A*phi from the previous iteration
-        tmp_q = cfg.D * ops.grad(s.phi)
-        q2 = ops.bfd_T(s.z + s.beta, self.scale_bf)
-        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
+        tmp_q = s.D * ops.grad(s.phi)
+        q2 = ops.bfd_T(s.z + s.beta, sbf)
+        q = (self._w(tmp_q + s.alpha) + q2) * s.diag_q_inv
         # step phi
-        rhs = cfg.D * ops.grad_T(self._w(q) - s.alpha) + s.c
-        phi = self.poisson.solve(rhs)
+        rhs = s.D * ops.grad_T(self._w(q) - s.alpha) + s.c
+        phi = self._poisson_solve(s, rhs)
         # step z (z2 refreshed from the q0-step's q)
-        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        z2 = ops.bfd(q, sbf, s.E / s.dScale)
         z = proj_soc(z2 - s.beta)
         # step q (second)
-        tmp_q = cfg.D * ops.grad(phi)
-        q2 = ops.bfd_T(z + s.beta, self.scale_bf)
-        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
+        tmp_q = s.D * ops.grad(phi)
+        q2 = ops.bfd_T(z + s.beta, sbf)
+        q = (self._w(tmp_q + s.alpha) + q2) * s.diag_q_inv
         # multipliers
-        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        z2 = ops.bfd(q, sbf, s.E / s.dScale)
         resi_alpha = tmp_q - self._w(q)
         resi_beta = z - z2
         return s._replace(
@@ -72,9 +73,8 @@ class PALMKernels(Kernels):
         # initial z = BFd(A phi) (``solver_socp_PALM.m:136-138``)
         if not hasattr(self, "_palm_z_jit"):
             def _zinit(s):
-                tmp_q = self.cfg.D * self.ops.grad(s.phi)
-                z = self.ops.bfd(tmp_q, self.scale_bf,
-                                 self.cfg.E / s.dScale)
+                tmp_q = s.D * self.ops.grad(s.phi)
+                z = self.ops.bfd(tmp_q, s.E / s.D, s.E / s.dScale)
                 return s._replace(z=z)
 
             self._palm_z_jit = jax.jit(_zinit)
@@ -131,19 +131,19 @@ class AccADMMKernels(Kernels):
         super().__init__(cfg, weight)
 
     def _step(self, s: SolverState) -> SolverState:
-        cfg = self.cfg
         ops = self.ops
+        sbf = s.E / s.D
         # step q
-        q2 = ops.bfd_T(s.z + s.beta, self.scale_bf)
-        tmp_q = cfg.D * ops.grad(s.phi)
-        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
+        q2 = ops.bfd_T(s.z + s.beta, sbf)
+        tmp_q = s.D * ops.grad(s.phi)
+        q = (self._w(tmp_q + s.alpha) + q2) * s.diag_q_inv
         # step alpha, beta (unit step)
-        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        z2 = ops.bfd(q, sbf, s.E / s.dScale)
         alpha = s.alpha + tmp_q - self._w(q)
         beta = s.beta + s.z - z2
         # step phi
-        rhs = cfg.D * ops.grad_T(self._w(q) - alpha) + s.c
-        phi = self.poisson.solve(rhs)
+        rhs = s.D * ops.grad_T(self._w(q) - alpha) + s.c
+        phi = self._poisson_solve(s, rhs)
         # step z
         z = proj_soc(z2 - beta)
         return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta,
@@ -210,11 +210,10 @@ class AccADMMKernels(Kernels):
 
     def _rescale_all(self, s, d_scale2, c_scale2):
         """accADMM scales phi, q, z (``solver_socp_accADMM.m:204-209``)."""
-        cfg = self.cfg
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = (self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+        z2 = (self.ops.bfd(q, s.E / s.D, s.E / d_scale)
               if self.carry_z2 else None)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),
@@ -349,26 +348,33 @@ class AccSgsADMMKernels(AccADMMKernels):
         if cfg.use_pallas:
             from ..ops.pallas_kernels import make_sgs_pallas
 
+            # pallas sweep bakes D^2 into the kernel (static per level)
             self.sgs_op = make_sgs_pallas(cfg.geom, D=cfg.D, dtype=cfg.dtype)
+            self._sgs_static = True
         else:
-            self.sgs_op = make_sgs(cfg.geom, D=cfg.D, eps=0.0, dtype=cfg.dtype)
+            # unit-D build; the traced level D^2 is passed per sweep
+            self.sgs_op = make_sgs(cfg.geom, D=1.0, eps=0.0, dtype=cfg.dtype)
+            self._sgs_static = False
         self.last_aux = {}
         super().__init__(cfg, weight, restart=restart, rho=rho)
 
+    def _sgs_d2(self, s):
+        return None if self._sgs_static else s.D * s.D
+
     def _step_parts(self, s: SolverState):
-        cfg = self.cfg
         ops = self.ops
+        sbf = s.E / s.D
         # step q
-        q2 = ops.bfd_T(s.z + s.beta, self.scale_bf)
-        tmp_q = cfg.D * ops.grad(s.phi)
-        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
+        q2 = ops.bfd_T(s.z + s.beta, sbf)
+        tmp_q = s.D * ops.grad(s.phi)
+        q = (self._w(tmp_q + s.alpha) + q2) * s.diag_q_inv
         # step alpha, beta
-        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        z2 = ops.bfd(q, sbf, s.E / s.dScale)
         alpha = s.alpha + tmp_q - self._w(q)
         beta = s.beta + s.z - z2
         # step phi: one symmetric red-black sweep
-        rhs = cfg.D * ops.grad_T(self._w(q) - alpha) + s.c
-        phi = self.sgs_op.sweep(s.phi, rhs, self.sgs_its)
+        rhs = s.D * ops.grad_T(self._w(q) - alpha) + s.c
+        phi = self.sgs_op.sweep(s.phi, rhs, self.sgs_its, d2=self._sgs_d2(s))
         s2 = s._replace(phi=phi, q=q, alpha=alpha, beta=beta,
                         z2=self._keep_z2(z2))
         return s2, rhs, z2
@@ -380,7 +386,8 @@ class AccSgsADMMKernels(AccADMMKernels):
     def _step_instrumented(self, s: SolverState, with_feas: bool):
         h = self.geom.h
         s2, rhs, z2 = self._step_parts(s)
-        resi_sgs = self.sgs_op.residual_color_a_norm(s2.phi, rhs, h)
+        resi_sgs = self.sgs_op.residual_color_a_norm(
+            s2.phi, rhs, h, d2=self._sgs_d2(s))
         s2 = s2._replace(z=proj_soc(z2 - s2.beta))
         aux = {"resi_sgs": resi_sgs}
         if with_feas:
@@ -389,10 +396,10 @@ class AccSgsADMMKernels(AccADMMKernels):
 
     def _feas_pair(self, s: SolverState):
         h = self.geom.h
-        tmp_q = self.cfg.D * self.ops.grad(s.phi)
+        tmp_q = s.D * self.ops.grad(s.phi)
         prim_fea1 = norm_l2(tmp_q - self._w(s.q), h)
         dual_fea1 = s.sigma * norm_l2(
-            self.cfg.D * self.ops.grad_T(s.alpha) - s.c, h
+            s.D * self.ops.grad_T(s.alpha) - s.c, h
         )
         return {"primFea1": prim_fea1, "dualFea1": dual_fea1}
 
@@ -441,10 +448,10 @@ class AccSgsADMMKernels(AccADMMKernels):
         """KKT battery + the sGS-block error (``accsGSADMM.m:358``)."""
         out = self._kkt(s)
         h = self.geom.h
-        tmp_q = self.cfg.D * self.ops.grad(s.phi)
+        tmp_q = s.D * self.ops.grad(s.phi)
         resi_alpha = tmp_q - self._w(s.q)
-        t1 = norm_l2(self.cfg.D * self.ops.grad_T(resi_alpha), h)
-        dual1 = norm_l2(self.cfg.D * self.ops.grad_T(s.alpha) - s.c, h)
+        t1 = norm_l2(s.D * self.ops.grad_T(resi_alpha), h)
+        dual1 = norm_l2(s.D * self.ops.grad_T(s.alpha) - s.c, h)
         out["kkt_sgs_blocks"] = jnp.sqrt(t1 * t1 + dual1 * dual1)
         return out
 
@@ -469,23 +476,31 @@ class SgsKernels(Kernels):
         if cfg.use_pallas:
             from ..ops.pallas_kernels import make_sgs_pallas
 
+            # pallas sweep bakes D^2 into the kernel (static per level)
             self.sgs = make_sgs_pallas(cfg.geom, D=cfg.D, dtype=cfg.dtype)
+            self._sgs_static = True
         else:
-            self.sgs = make_sgs(cfg.geom, D=cfg.D, eps=0.0, dtype=cfg.dtype)
+            # unit-D build; the traced level D^2 is passed per sweep
+            self.sgs = make_sgs(cfg.geom, D=1.0, eps=0.0, dtype=cfg.dtype)
+            self._sgs_static = False
         self.last_aux = {}
         super().__init__(cfg, weight)
 
+    def _sgs_d2(self, s):
+        return None if self._sgs_static else s.D * s.D
+
     def _phi_rhs(self, s: SolverState):
-        return self.cfg.D * self.ops.grad_T(self._w(s.q) - s.alpha) + s.c
+        return s.D * self.ops.grad_T(self._w(s.q) - s.alpha) + s.c
 
     def _step_from_phi(self, s: SolverState, phi) -> SolverState:
         cfg = self.cfg
         ops = self.ops
+        sbf = s.E / s.D
         z = proj_soc(self._z2_cur(s) - s.beta)
-        tmp_q = cfg.D * ops.grad(phi)
-        q2 = ops.bfd_T(z + s.beta, self.scale_bf)
-        q = (self._w(tmp_q + s.alpha) + q2) * self.diag_q_inv
-        z2 = ops.bfd(q, self.scale_bf, cfg.E / s.dScale)
+        tmp_q = s.D * ops.grad(phi)
+        q2 = ops.bfd_T(z + s.beta, sbf)
+        q = (self._w(tmp_q + s.alpha) + q2) * s.diag_q_inv
+        z2 = ops.bfd(q, sbf, s.E / s.dScale)
         resi_alpha = tmp_q - self._w(q)
         resi_beta = z - z2
         return s._replace(
@@ -498,7 +513,8 @@ class SgsKernels(Kernels):
         )
 
     def _step(self, s: SolverState) -> SolverState:
-        phi = self.sgs.sweep(s.phi, self._phi_rhs(s), self.sgs_its)
+        phi = self.sgs.sweep(s.phi, self._phi_rhs(s), self.sgs_its,
+                             d2=self._sgs_d2(s))
         return self._step_from_phi(s, phi)
 
     def _step_instrumented(self, s: SolverState, with_feas: bool):
@@ -508,8 +524,9 @@ class SgsKernels(Kernels):
         pair (``solver_socp_sGSinPALM.m:373-390``)."""
         h = self.geom.h
         rhs = self._phi_rhs(s)
-        phi = self.sgs.sweep(s.phi, rhs, self.sgs_its)
-        resi_sgs = self.sgs.residual_color_a_norm(phi, rhs, h)
+        phi = self.sgs.sweep(s.phi, rhs, self.sgs_its, d2=self._sgs_d2(s))
+        resi_sgs = self.sgs.residual_color_a_norm(phi, rhs, h,
+                                                  d2=self._sgs_d2(s))
         s = self._step_from_phi(s, phi)
         aux = {"resi_sgs": resi_sgs}
         if with_feas:
@@ -518,11 +535,11 @@ class SgsKernels(Kernels):
 
     def _feas_pair(self, s: SolverState):
         h = self.geom.h
-        tmp_q = self.cfg.D * self.ops.grad(s.phi)
+        tmp_q = s.D * self.ops.grad(s.phi)
         resi_alpha = tmp_q - self._w(s.q)
         prim_fea1 = norm_l2(resi_alpha, h)
         dual_fea1 = s.sigma * norm_l2(
-            self.cfg.D * self.ops.grad_T(s.alpha) - s.c, h
+            s.D * self.ops.grad_T(s.alpha) - s.c, h
         )
         return {"primFea1": prim_fea1, "dualFea1": dual_fea1}
 
@@ -567,20 +584,19 @@ class SgsKernels(Kernels):
         # kkt error of the sGS blocks (``solver_socp_sGSinPALM.m:322``):
         # sqrt(||A'(A phi - q + alpha)... || — assembled from resi_alpha)
         h = self.geom.h
-        tmp_q = self.cfg.D * self.ops.grad(s.phi)
+        tmp_q = s.D * self.ops.grad(s.phi)
         resi_alpha = tmp_q - self._w(s.q)
-        t1 = norm_l2(self.cfg.D * self.ops.grad_T(resi_alpha), h)
-        dual1 = norm_l2(self.cfg.D * self.ops.grad_T(s.alpha) - s.c, h)
+        t1 = norm_l2(s.D * self.ops.grad_T(resi_alpha), h)
+        dual1 = norm_l2(s.D * self.ops.grad_T(s.alpha) - s.c, h)
         out["kkt_sgs_blocks"] = jnp.sqrt(t1 * t1 + dual1 * dual1)
         return out
 
     def _rescale(self, s, d_scale2, c_scale2):
         """sGS scales phi and q, not z (``solver_socp_sGSinPALM.m:185-190``)."""
-        cfg = self.cfg
         r = d_scale2 / (c_scale2 * c_scale2)
         q = s.q / d_scale2
         d_scale = s.dScale * d_scale2
-        z2 = (self.ops.bfd(q, self.scale_bf, cfg.E / d_scale)
+        z2 = (self.ops.bfd(q, s.E / s.D, s.E / d_scale)
               if self.carry_z2 else None)
         return s._replace(
             sigma=s.sigma * (c_scale2 / d_scale2),

@@ -161,6 +161,25 @@ def _resource_dir(explicit: Optional[str] = None) -> Optional[str]:
     return None
 
 
+def density_source(problem: str = "DOTmark_4stitch",
+                   resources: Optional[str] = None) -> str:
+    """Provenance of the densities an image-based example will produce:
+    the asset directory actually used, or 'procedural' for the synthetic
+    fallback. Benchmarks stamp this so iteration counts are comparable
+    across environments (the fallback is a *different problem* under the
+    same name)."""
+    res = _resource_dir(resources)
+    if res is None:
+        return "procedural"
+    if problem == "DOTmark_4stitch":
+        probe = os.path.join(res, "DOTmark", "ClassicImages", "1.png")
+    elif problem == "example5":
+        probe = os.path.join(res, "centaur.bmp")
+    else:
+        return f"assets:{res}"
+    return f"assets:{res}" if os.path.isfile(probe) else "procedural"
+
+
 def _load_image_gray(path: str, shape: Tuple[int, int]) -> np.ndarray:
     from PIL import Image
 

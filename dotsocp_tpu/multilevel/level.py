@@ -57,6 +57,8 @@ class LevelVar:
             "dScale": self.dScale,
             "norm_c": self.norm_c,
             "norm_d": self.norm_d,
+            "D": self.D,
+            "E": self.E,
         }
 
 

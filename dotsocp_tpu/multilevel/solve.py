@@ -85,17 +85,28 @@ _SOLVER_CACHE_MAX = 10
 
 
 def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
-                      checkpoint_path, device_kw, use_pallas, layout):
+                      checkpoint_path, device_kw, use_pallas, layout,
+                      mesh=None):
     weight_key = (
         None if lv.weight is None
         else tuple(id(x) for x in jax.tree.leaves(lv.weight))
     )
+    mesh_key = (
+        None if mesh is None
+        else (tuple(mesh.axis_names), tuple(mesh.shape.values()),
+              tuple(d.id for d in mesh.devices.flat))
+    )
+    # D, E and tol are traced into the solver state (core.SolverState /
+    # device_driver.LoopState), so they do NOT key the cache: one compiled
+    # executable serves every level/problem with the same shapes. The only
+    # D-baking exception is the Pallas sGS sweep.
+    pallas_key = (float(lv.D),) if use_pallas else None
     return (
-        method, driver, lv.geom, float(lv.D), float(lv.E), float(o.tau),
+        method, driver, lv.geom, float(o.tau),
         weight_key, bool(o.check_prim_dual_feas), str(jnp.dtype(dtype)),
-        bool(use_pallas), float(o.tol), int(o.maxit), int(o.restart),
+        bool(use_pallas), pallas_key, int(o.maxit), int(o.restart),
         float(o.rho), float(o.theta), bool(o.check_step_by_step),
-        checkpoint_path, layout,
+        checkpoint_path, layout, mesh_key,
         tuple(sorted((device_kw or {}).items())),
     )
 
@@ -107,19 +118,23 @@ def clear_solver_cache():
 def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                   driver: str = "auto", checkpoint_path=None,
                   device_kw=None, use_pallas: bool = False,
-                  reuse: bool = True, layout: str = "auto"):
+                  reuse: bool = True, layout: str = "auto", mesh=None):
     """driver: 'device' runs the whole level loop inside one jitted
     while_loop (one host round-trip per ~600 iterations — the TPU-native
     fast path); 'host' uses the readable host-orchestrated driver (needed
     for sGS variants and step-by-step checking). 'auto' picks device where
     supported. layout 'auto' packs the spatial axes flat (ops/engine.py);
-    the sGS family pins itself back to shaped arrays."""
+    the sGS family pins itself back to shaped arrays, and a spatial mesh
+    forces shaped arrays (the y/x sharding is annotated on the 2-D spatial
+    axes)."""
+    if mesh is not None:
+        layout = "3d"
     if layout == "auto":
         layout = "flat"
     if reuse:
         key = _solver_cache_key(method, lv, o, dtype, driver,
                                 checkpoint_path, device_kw, use_pallas,
-                                layout)
+                                layout, mesh)
         cached = _SOLVER_CACHE.get(key)
         if cached is not None:
             _SOLVER_CACHE.move_to_end(key)
@@ -128,7 +143,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
             solver.opts = o
             return solver
     solver = _make_solver(method, lv, o, dtype, driver, checkpoint_path,
-                          device_kw, use_pallas, layout)
+                          device_kw, use_pallas, layout, mesh)
     if reuse:
         from .. import algorithms as _alg  # noqa: F401  (package anchor)
         from ..algorithms.device_driver import AccDeviceDriver, DeviceDriver
@@ -150,7 +165,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
 def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                  driver: str = "auto", checkpoint_path=None,
                  device_kw=None, use_pallas: bool = False,
-                 layout: str = "flat"):
+                 layout: str = "flat", mesh=None):
     weighted = lv.weight is not None
     cfg = LevelConfig(
         geom=lv.geom,
@@ -164,18 +179,21 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         layout=layout,
     )
     w = lv.weight
-    use_device = driver == "device" or (
+    use_device = driver == "device" or mesh is not None or (
         driver == "auto"
         and not o.check_step_by_step
         and method in ("inPALM", "ALG2", "PALM", "acc-ADMM")
     )
+    dev_kw = dict(device_kw or {})
+    if mesh is not None:
+        dev_kw["mesh"] = mesh
     if method in ("inPALM", "ALG2"):
         k = InPALMKernels(cfg, w)
         if use_device:
             from ..algorithms.device_driver import DeviceDriver
 
             return DeviceDriver(k, o, checkpoint_path=checkpoint_path,
-                                **(device_kw or {}))
+                                **dev_kw)
         return (ALG2Solver if method == "ALG2" else InPALMSolver)(k, o)
     if method == "PALM":
         k = PALMKernels(cfg, w)
@@ -183,7 +201,7 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
             from ..algorithms.device_driver import DeviceDriver
 
             return DeviceDriver(k, o, checkpoint_path=checkpoint_path,
-                                **(device_kw or {}))
+                                **dev_kw)
         return PALMSolver(k, o)
     if method == "acc-ADMM":
         if o.theta != 2.0:
@@ -199,26 +217,26 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
             from ..algorithms.device_driver import AccDeviceDriver
 
             return AccDeviceDriver(k, o, checkpoint_path=checkpoint_path,
-                                   **(device_kw or {}))
+                                   **dev_kw)
         return AccADMMSolver(k, o)
     if method == "sGS-inPALM":
         k = SgsKernels(cfg, w)
-        if driver == "device":
+        if driver == "device" or mesh is not None:
             # device loop available on request (auto keeps the host
             # driver: its win-count strategy is the reference-readable
             # implementation and the parity oracle)
             from ..algorithms.device_sgs import SgsDeviceDriver
 
             return SgsDeviceDriver(k, o, checkpoint_path=checkpoint_path,
-                                   **(device_kw or {}))
+                                   **dev_kw)
         return SgsInPALMSolver(k, o)
     if method == "acc-sGS-ADMM":
         k = AccSgsADMMKernels(cfg, w, restart=o.restart, rho=o.rho)
-        if driver == "device":
+        if driver == "device" or mesh is not None:
             from ..algorithms.device_sgs import AccSgsDeviceDriver
 
             return AccSgsDeviceDriver(k, o, checkpoint_path=checkpoint_path,
-                                      **(device_kw or {}))
+                                      **dev_kw)
         return AccSgsADMMSolver(k, o)
     raise ValueError(f"unknown method {method!r}")
 
@@ -273,6 +291,77 @@ def stg_ones_like_placeholder(geom, dtype):
     from ..ops import staggered as stg
 
     return stg.ones(geom, dtype)
+
+
+def _prewarm_levels(method, rho0s, rho1s, nts, weights, opts, dtype,
+                    sigma0, tau, maxit, scaling, check_sbs, check_pdf,
+                    level_n, verbose):
+    """Compile every level's device-loop executable concurrently before the
+    solve starts. The chunk executables are shape-only (D, E, tol, sigma are
+    traced — see core.SolverState), so they can be built from the pyramid
+    alone; through the axon remote compiler one cold chunk compile takes
+    minutes, and the three levels overlap to ~the slowest one. Solver
+    objects land in the module solver cache, so the subsequent solve reuses
+    the exact jitted callables (zero-iteration warm call => jit cache hit)."""
+    import threading
+
+    sgs_method = _is_sgs(method)
+    solvers = []
+    states = []
+    for lev in range(level_n):
+        lev_method = method
+        o = SolveOptions(
+            tol=1e-4, maxit=maxit, sigma=sigma0, tau=tau,
+            time_limit=3600.0, scaling=scaling,
+            check_step_by_step=check_sbs, check_prim_dual_feas=check_pdf,
+            restart=int(opts.get("restart", 100)),
+            rho=float(opts.get("rho", 2.0)),
+            theta=float(opts.get("theta", 2.0)),
+        )
+        if sgs_method and lev < level_n - 1:
+            lev_method = "inPALM"
+            o.maxit = ADMM_MAXIT
+            o.tau = ALM_STEPSIZE
+        lv = initialize(rho0s[lev], rho1s[lev], nts[lev], dtype=dtype,
+                        weight=weights[lev])
+        initial_scaling(lv, scaling)
+        device_kw = {}
+        if "chunk_iters" in opts:
+            device_kw["chunk_iters"] = int(opts["chunk_iters"])
+        if "max_chunks" in opts:
+            device_kw["max_chunks"] = int(opts["max_chunks"])
+        solver = _build_solver(lev_method, lv, o, dtype,
+                               driver=str(opts.get("driver", "auto")),
+                               device_kw=device_kw,
+                               use_pallas=bool(opts.get("use_pallas", False)),
+                               reuse=bool(opts.get("reuse_solvers", True)),
+                               layout=str(opts.get("layout", "auto")),
+                               mesh=opts.get("mesh"))
+        chunk = getattr(solver, "_chunk", None)
+        if chunk is None:
+            continue  # host drivers compile per-call; nothing to prewarm
+        solvers.append(solver)
+        states.append(solver.init_loop_state(
+            solver._init_extra(solver.k.prep(lv.as_dict(), o.sigma))
+        ))
+
+    t0 = time.monotonic()
+
+    def warm(i):
+        # zero-iteration chunk: full trace + compile, immediate loop exit
+        jax.block_until_ready(
+            solvers[i]._chunk(states[i], jnp.zeros((), jnp.int32))
+        )
+
+    threads = [threading.Thread(target=warm, args=(i,))
+               for i in range(len(solvers))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if verbose and solvers:
+        print(f"prewarm: {len(solvers)} level executables compiled in "
+              f"{time.monotonic() - t0:.1f}s")
 
 
 def _cat_hist(hists):
@@ -398,6 +487,11 @@ def solve_dot(
         rho0s[lev] = r0
         rho1s[lev] = r1
 
+    if opts.get("prewarm"):
+        _prewarm_levels(method, rho0s, rho1s, nts, weights, opts, dtype,
+                        sigma0, tau, maxit, scaling, check_sbs, check_pdf,
+                        level_n, verbose)
+
     # multilevel loop
     lv = initialize(rho0s[0], rho1s[0], nts[0], dtype=dtype, weight=weights[0])
     last_kkt = None
@@ -448,7 +542,8 @@ def solve_dot(
                                 device_kw=device_kw,
                                 use_pallas=bool(opts.get("use_pallas", False)),
                                 reuse=bool(opts.get("reuse_solvers", True)),
-                                layout=str(opts.get("layout", "auto")))
+                                layout=str(opts.get("layout", "auto")),
+                                mesh=opts.get("mesh"))
         hist, out = solver.solve(lv.as_dict())
         hist["method"] = solver.name
         hists.append(hist)
@@ -532,7 +627,8 @@ def solve_dot(
                                driver=str(opts.get("driver", "auto")),
                                device_kw=device_kw,
                                reuse=bool(opts.get("reuse_solvers", True)),
-                               layout=str(opts.get("layout", "auto")))
+                               layout=str(opts.get("layout", "auto")),
+                               mesh=opts.get("mesh"))
         hist, out = solver.solve(lv.as_dict())
         hist["method"] = solver.name + " (f64 refine)"
         hists.append(hist)

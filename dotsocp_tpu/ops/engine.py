@@ -305,9 +305,9 @@ class _FlatPoisson:
     def inv_kernel(self):
         return self.inner.inv_kernel
 
-    def solve(self, rhs):
+    def solve(self, rhs, scale=None):
         shaped = rhs.reshape((rhs.shape[0],) + self.geom.space)
-        out = self.inner.solve(shaped)
+        out = self.inner.solve(shaped, scale=scale)
         return out.reshape(rhs.shape)
 
 

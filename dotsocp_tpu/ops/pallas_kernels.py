@@ -100,10 +100,11 @@ class PallasSGS(RedBlackSGS):
     # NamedTuple subclassing: carry the pallas callable separately
     _pallas_sweep = None
 
-    def sweep(self, phi, rhs, its: int = 1):
+    def sweep(self, phi, rhs, its: int = 1, d2=None):
         fn = type(self)._pallas_sweep
-        if fn is None:
-            return super().sweep(phi, rhs, its)
+        if fn is None or d2 is not None:
+            # the pallas kernel bakes D^2; traced-d2 callers get the jnp path
+            return super().sweep(phi, rhs, its, d2=d2)
         for _ in range(its):
             phi = fn(phi, rhs, self.inv_diag)
         return phi

@@ -52,12 +52,17 @@ class DctPoisson(NamedTuple):
     mats: Tuple[jax.Array, ...]  # one orthonormal DCT matrix per array axis
     inv_kernel: jax.Array        # 1 / (D^2 * kernel), phi-shaped
 
-    def solve(self, rhs: jax.Array) -> jax.Array:
-        """phi = idctn(dctn(rhs) * inv_kernel) (``oper_poisson3dim.m:4``)."""
+    def solve(self, rhs: jax.Array, scale=None) -> jax.Array:
+        """phi = idctn(dctn(rhs) * inv_kernel) (``oper_poisson3dim.m:4``).
+
+        ``scale`` multiplies the inverse kernel at use time — pass 1/D^2
+        against a unit-D build so the traced level constant D never bakes
+        into the executable (it fuses into the existing kernel multiply)."""
         y = rhs
         for ax, C in enumerate(self.mats):
             y = _apply_axis(C, y, ax)
-        y = y * self.inv_kernel
+        inv_k = self.inv_kernel if scale is None else self.inv_kernel * scale
+        y = y * inv_k
         for ax, C in enumerate(self.mats):
             y = _apply_axis(C.T, y, ax)
         return y

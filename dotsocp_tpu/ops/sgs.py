@@ -66,28 +66,37 @@ class RedBlackSGS(NamedTuple):
             out = out + w * (jnp.pad(lo, pad_lo) + jnp.pad(hi, pad_hi))
         return out
 
-    def _half_sweep(self, phi: jax.Array, rhs: jax.Array, color_a: bool) -> jax.Array:
-        new = (rhs + self.scale * self._neighbor_sum(phi)) * self.inv_diag
+    def _half_sweep(self, phi: jax.Array, rhs: jax.Array, color_a: bool,
+                    d2=None) -> jax.Array:
+        """``d2`` overrides the baked D^2 scale at trace time (build the
+        smoother with D=1 and pass the traced level constant here, so the
+        executable does not depend on the per-level D)."""
+        scale = self.scale if d2 is None else d2
+        inv_diag = self.inv_diag if d2 is None else self.inv_diag / d2
+        new = (rhs + scale * self._neighbor_sum(phi)) * inv_diag
         mask = self.mask_a if color_a else ~self.mask_a
         return jnp.where(mask, new, phi)
 
-    def sweep(self, phi: jax.Array, rhs: jax.Array, its: int = 1) -> jax.Array:
+    def sweep(self, phi: jax.Array, rhs: jax.Array, its: int = 1,
+              d2=None) -> jax.Array:
         """``its`` symmetric red-black sweeps (B, A, B)."""
         for _ in range(its):
-            phi = self._half_sweep(phi, rhs, color_a=False)
-            phi = self._half_sweep(phi, rhs, color_a=True)
-            phi = self._half_sweep(phi, rhs, color_a=False)
+            phi = self._half_sweep(phi, rhs, color_a=False, d2=d2)
+            phi = self._half_sweep(phi, rhs, color_a=True, d2=d2)
+            phi = self._half_sweep(phi, rhs, color_a=False, d2=d2)
         return phi
 
-    def residual(self, phi: jax.Array, rhs: jax.Array) -> jax.Array:
+    def residual(self, phi: jax.Array, rhs: jax.Array, d2=None) -> jax.Array:
         """rhs - M phi (full grid)."""
-        diag_term = phi / self.inv_diag
-        return rhs - diag_term + self.scale * self._neighbor_sum(phi)
+        scale = self.scale if d2 is None else d2
+        inv_diag = self.inv_diag if d2 is None else self.inv_diag / d2
+        diag_term = phi / inv_diag
+        return rhs - diag_term + scale * self._neighbor_sum(phi)
 
-    def residual_color_a_norm(self, phi, rhs, h) -> jax.Array:
+    def residual_color_a_norm(self, phi, rhs, h, d2=None) -> jax.Array:
         """sqrt(h) * || (rhs - M phi)[color A] || — the monitored sGS-block
         residual (``solver_socp_sGSinPALM.m:216``)."""
-        r = jnp.where(self.mask_a, self.residual(phi, rhs), 0.0)
+        r = jnp.where(self.mask_a, self.residual(phi, rhs, d2=d2), 0.0)
         return jnp.sqrt(h * jnp.sum(jnp.square(r)))
 
 

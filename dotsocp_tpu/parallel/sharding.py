@@ -97,6 +97,9 @@ def state_shardings(mesh: Mesh, batched: bool = True,
         norm_c=scalar,
         norm_d=scalar,
         sigmaScale=scalar,
+        D=scalar,
+        E=scalar,
+        diag_q_inv=stag,
     )
 
 
@@ -108,6 +111,31 @@ def constrain(state, shardings):
     return jax.tree.map(
         lambda x, s: jax.lax.with_sharding_constraint(x, s), state, shardings
     )
+
+
+def loop_state_shardings(ls, mesh: Mesh, carry_z2: bool = False):
+    """Shardings for a device-driver ``LoopState`` (or sGS variant): the
+    solver state gets the spatial y/x layout, every control/history field is
+    replicated. Works on any NamedTuple whose first field ``s`` is the
+    SolverState (acc drivers nest it one level deeper in an AccState)."""
+    from ..algorithms.variants import AccState
+
+    repl = NamedSharding(mesh, P())
+    state_sh = state_shardings(mesh, batched=False, carry_z2=carry_z2)
+
+    def sh_for(obj):
+        if isinstance(obj, AccState):
+            blocks = (state_sh.phi, state_sh.z, state_sh.q, state_sh.alpha,
+                      state_sh.beta)
+            return AccState(s=state_sh, old=blocks, anchor=blocks, k=repl)
+        return state_sh
+
+    return ls._replace(
+        s=sh_for(ls.s),
+        **{f: repl for f in ls._fields if f != "s"},
+    )
+
+
 
 
 def make_sharded_step(kernels, mesh: Mesh, batched: bool = True):

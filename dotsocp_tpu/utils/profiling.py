@@ -59,24 +59,24 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
     state_full = state if carry else state._replace(z2=None)
     if state.z2 is None:
         state = state._replace(
-            z2=ops.bfd(state.q, kernels.scale_bf, cfg.E / state.dScale)
+            z2=ops.bfd(state.q, state.E / state.D, state.E / state.dScale)
         )
 
     def phi_step(s):
-        rhs = cfg.D * ops.grad_T(wmul(s.q) - s.alpha) + s.c
-        return kernels.poisson.solve(rhs)
+        rhs = s.D * ops.grad_T(wmul(s.q) - s.alpha) + s.c
+        return kernels._poisson_solve(s, rhs)
 
     def z_step(s):
         return proj_soc(s.z2 - s.beta)
 
     def q_step(s):
-        tmp_q = cfg.D * ops.grad(s.phi)
-        q2 = ops.bfd_T(s.z + s.beta, kernels.scale_bf)
-        return (wmul(tmp_q + s.alpha) + q2) * kernels.diag_q_inv
+        tmp_q = s.D * ops.grad(s.phi)
+        q2 = ops.bfd_T(s.z + s.beta, s.E / s.D)
+        return (wmul(tmp_q + s.alpha) + q2) * s.diag_q_inv
 
     def mult_step(s):
-        tmp_q = cfg.D * ops.grad(s.phi)
-        z2 = ops.bfd(s.q, kernels.scale_bf, cfg.E / s.dScale)
+        tmp_q = s.D * ops.grad(s.phi)
+        z2 = ops.bfd(s.q, s.E / s.D, s.E / s.dScale)
         alpha = s.alpha + cfg.tau * (tmp_q - wmul(s.q))
         beta = s.beta + cfg.tau * (s.z - z2)
         return alpha, beta, z2

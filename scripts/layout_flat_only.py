@@ -17,18 +17,22 @@ initial_scaling(lv, scaling=True)
 cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=1.9, dtype=jnp.float32)
 k = InPALMKernels(cfg)
 s = k.prep(lv.as_dict(), sigma=1.0)
+scale_bf = cfg.E / cfg.D
+diag_q_inv = s.diag_q_inv
+if s.z2 is None:
+    s = s._replace(z2=k.ops.bfd(s.q, scale_bf, cfg.E / s.dScale))
 geom = k.geom
 C, M, zshape = geom.cone_cols, geom.n_cells, geom.z_shape
 
 def step_flat(carry):
     phi, q, zf, alpha, bf, z2f, c, dScale = carry
     rhs = cfg.D * grad_T(geom, q - alpha) + c
-    phi = k.poisson.solve(rhs)
+    phi = k.poisson.solve(rhs, scale=1.0 / (cfg.D * cfg.D))
     z = proj_soc(z2f - bf)
     tmp_q = cfg.D * grad(geom, phi)
-    q2 = bfd_T(geom, (z + bf).reshape(zshape), k.scale_bf)
-    q = (tmp_q + alpha + q2) * k.diag_q_inv
-    z2f = bfd(geom, q, k.scale_bf, cfg.E / dScale).reshape(C, M)
+    q2 = bfd_T(geom, (z + bf).reshape(zshape), scale_bf)
+    q = (tmp_q + alpha + q2) * diag_q_inv
+    z2f = bfd(geom, q, scale_bf, cfg.E / dScale).reshape(C, M)
     alpha = alpha + cfg.tau * (tmp_q - q)
     bf = bf + cfg.tau * (z - z2f)
     return (phi, q, z, alpha, bf, z2f, c, dScale)

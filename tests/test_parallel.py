@@ -85,6 +85,33 @@ def test_sharded_kkt_matches():
     np.testing.assert_allclose(out["pdGap"][0], ref["pdGap"], rtol=1e-9)
 
 
+def test_sharded_multilevel_solve_matches_trajectory():
+    """End-to-end spatially-sharded multilevel solve through the device
+    driver (opts['mesh']): the trajectory — per-level iteration counts,
+    final KKT, recovered density — must match the single-device run
+    (sigma updates and rescales included; only collective-reduction
+    rounding differs)."""
+    from dotsocp_tpu.multilevel.solve import solve_dot
+
+    rho0, rho1 = get_example_2d("example2", 33, 33)
+    opts = {"tol": 1e-4, "driver": "device"}
+    out1, hml1, _ = solve_dot(rho0, rho1, 9, 2, dict(opts), "inPALM",
+                              dtype=jnp.float32, verbose=False)
+    mesh = make_mesh(8, axis_names=("y", "x"))
+    out2, hml2, _ = solve_dot(rho0, rho1, 9, 2, dict(opts, mesh=mesh),
+                              "inPALM", dtype=jnp.float32, verbose=False)
+    i1 = [l["iters"] for l in out1["levels"]]
+    i2 = [l["iters"] for l in out2["levels"]]
+    assert i1 == i2
+    assert bool(out2["mass_ok"])
+    np.testing.assert_allclose(
+        hml1["kkt"][-1], hml2["kkt"][-1], rtol=0.05, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["rho"]), np.asarray(out2["rho"]), atol=5e-4
+    )
+
+
 def test_dryrun_entrypoints():
     import __graft_entry__ as g
 

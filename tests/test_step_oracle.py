@@ -76,10 +76,10 @@ def test_full_step_matches_native_oracle():
     beta = np.asarray(s.beta)
     c = np.asarray(s.c)
     solve = _np_poisson_solver(geom, cfg.D)
-    diag_q0 = np.asarray(k.diag_q_inv.q0)
-    diag_by = np.asarray(k.diag_q_inv.bs[0])
-    diag_bx = np.asarray(k.diag_q_inv.bs[1])
-    scale_bf = k.scale_bf
+    diag_q0 = np.asarray(s.diag_q_inv.q0)
+    diag_by = np.asarray(s.diag_q_inv.bs[0])
+    diag_bx = np.asarray(s.diag_q_inv.bs[1])
+    scale_bf = cfg.E / cfg.D
     scale_d = cfg.E / float(np.asarray(s.dScale))
     tau = cfg.tau
     # z2 is no longer carried in SolverState (carry_z2=False default);
