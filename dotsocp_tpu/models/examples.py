@@ -155,7 +155,15 @@ def gene_example7(nx, ny, n_points: int = 30, seed: int = 7):
 # ---------------------------------------------------------------------------
 
 def _resource_dir(explicit: Optional[str] = None) -> Optional[str]:
-    for cand in (explicit, os.environ.get("DOTSOCP_RESOURCES"), _REFERENCE_RESOURCES):
+    """Asset directory to load image examples from. ``explicit``/env value
+    'procedural' forces the synthetic fallbacks regardless of what is on
+    disk (used by reproducible fixtures)."""
+    if explicit == "procedural":
+        return None
+    cands = (explicit, os.environ.get("DOTSOCP_RESOURCES"), _REFERENCE_RESOURCES)
+    if os.environ.get("DOTSOCP_RESOURCES") == "procedural":
+        cands = (explicit,)
+    for cand in cands:
         if cand and os.path.isdir(cand):
             return cand
     return None
