@@ -29,11 +29,11 @@ import numpy as np
 
 CONFIGS = {
     # name: (family, problem, space_n, nt, levels, tol, method, opts)
-    "dot1d_gaussian_257x17_l2_inpalm": ("1d", "gaussian", 257, 17, 2, 1e-5, "inPALM", {}),
+    "dot1d_gaussian_129x9_l2_inpalm": ("1d", "gaussian", 129, 9, 2, 1e-5, "inPALM", {}),
     "dot2d_example1_65x17_l2_inpalm": ("2d", "example1", 65, 17, 2, 1e-4, "inPALM", {}),
     "dot2d_example2_65x17_l2_accadmm": ("2d", "example2", 65, 17, 2, 1e-4, "acc-ADMM", {}),
     "dot2d_dotmark_65x17_l2_inpalm": ("2d", "DOTmark_4stitch", 65, 17, 2, 1e-4, "inPALM", {}),
-    "dot2d_example2_65x17_l1_sgsinpalm": ("2d", "example2", 65, 17, 1, 1e-4, "sGS-inPALM", {}),
+    "dot2d_example2_65x17_l2_sgsinpalm": ("2d", "example2", 65, 17, 2, 1e-4, "sGS-inPALM", {}),
     "wdot2d_loveheart_65x17_l2_inpalm": ("w2d", "love-heart", 65, 17, 2, 1e-3, "inPALM", {}),
 }
 
