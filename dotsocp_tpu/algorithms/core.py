@@ -140,6 +140,17 @@ class Kernels:
             self.weight = None
         else:
             self.weight = self.ops.weight_to_internal(weight.astype(dtype))
+        # fused Pallas step (SURVEY section-7 step 5): flat f32 unweighted
+        # 1D/2D only; everything else stays on the jnp ops
+        self._fused = None
+        if (cfg.use_pallas and cfg.layout == "flat" and self.weight is None
+                and jnp.dtype(dtype) == jnp.float32
+                and geom.ndim_space in (1, 2)):
+            from ..ops.pallas_kernels import make_fused_flat_step
+
+            self._fused = make_fused_flat_step(
+                geom, self.ops.strides, self.ops.masks, cfg.tau, dtype
+            )
         self._build()
 
     def _w(self, x):
@@ -172,6 +183,8 @@ class Kernels:
     def _step(self, s: SolverState) -> SolverState:
         """One inPALM/PALM-family iteration (``solver_socp_inPALM.m:192-216``;
         weighted variant ``solver_wsocp_inPALM.m:198-222``)."""
+        if self._fused is not None:
+            return self._step_fused(s)
         cfg = self.cfg
         ops = self.ops
         sbf = s.E / s.D
@@ -192,6 +205,31 @@ class Kernels:
         beta = s.beta + cfg.tau * resi_beta
         return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta,
                           z2=self._keep_z2(z2))
+
+    def _step_fused(self, s: SolverState) -> SolverState:
+        """The same iteration with the three post-DCT passes executed as
+        fused Pallas kernels (ops/pallas_kernels.make_fused_flat_step);
+        per-op arithmetic matches the jnp path to f32 rounding."""
+        cfg = self.cfg
+        ops = self.ops
+        f = self._fused
+        sbf = s.E / s.D
+        sd = s.E / s.dScale
+        rhs = s.D * ops.grad_T(s.q - s.alpha) + s.c
+        phi = self._poisson_solve(s, rhs)
+        z = f["z_step"](s.q.q0, list(s.q.bs), s.beta, sbf, sd)
+        q0n, bns, a0n, abns = f["q_step"](
+            phi, z, s.beta, s.alpha.q0, list(s.alpha.bs),
+            s.diag_q_inv.q0, list(s.diag_q_inv.bs),
+            s.D, sbf, jnp.asarray(cfg.tau, phi.dtype),
+        )
+        beta = f["beta_step"](s.beta, z, q0n, bns, sbf, sd,
+                              jnp.asarray(cfg.tau, phi.dtype))
+        q = Staggered(q0=q0n, bs=tuple(bns))
+        alpha = Staggered(q0=a0n, bs=tuple(abns))
+        return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta,
+                          z2=self._keep_z2(None) if not self.carry_z2 else
+                          ops.bfd(q, sbf, sd))
 
     def _build(self):
         step = self._step

@@ -99,8 +99,9 @@ def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
     # D, E and tol are traced into the solver state (core.SolverState /
     # device_driver.LoopState), so they do NOT key the cache: one compiled
     # executable serves every level/problem with the same shapes. The only
-    # D-baking exception is the Pallas sGS sweep.
-    pallas_key = (float(lv.D),) if use_pallas else None
+    # D-baking exception is the Pallas sGS sweep (the fused Pallas step of
+    # the inPALM family takes D as a traced scalar input).
+    pallas_key = (float(lv.D),) if (use_pallas and _is_sgs(method)) else None
     return (
         method, driver, lv.geom, float(o.tau),
         weight_key, bool(o.check_prim_dual_feas), str(jnp.dtype(dtype)),
@@ -131,6 +132,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         layout = "3d"
     if layout == "auto":
         layout = "flat"
+    use_pallas = _resolve_pallas(use_pallas, lv, dtype, layout)
     if reuse:
         key = _solver_cache_key(method, lv, o, dtype, driver,
                                 checkpoint_path, device_kw, use_pallas,
@@ -160,6 +162,24 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         while len(_SOLVER_CACHE) > _SOLVER_CACHE_MAX:
             _SOLVER_CACHE.popitem(last=False)
     return solver
+
+
+def _resolve_pallas(use_pallas, lv, dtype, layout) -> bool:
+    """'auto' turns the fused Pallas step on where it wins: large grids
+    (the XLA path loses cross-pass fusion there — BASELINE.md 513^2 numbers)
+    on the flat f32 unweighted path on a real TPU. Small grids keep the XLA
+    path (measured at parity or better at 129^2)."""
+    if use_pallas != "auto":
+        return bool(use_pallas)
+    import numpy as _np
+
+    return (
+        layout == "flat"
+        and lv.weight is None
+        and jnp.dtype(dtype) == jnp.float32
+        and int(_np.prod(lv.geom.space)) >= 200_000
+        and jax.devices()[0].platform == "tpu"
+    )
 
 
 def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
@@ -333,7 +353,7 @@ def _prewarm_levels(method, rho0s, rho1s, nts, weights, opts, dtype,
         solver = _build_solver(lev_method, lv, o, dtype,
                                driver=str(opts.get("driver", "auto")),
                                device_kw=device_kw,
-                               use_pallas=bool(opts.get("use_pallas", False)),
+                               use_pallas=opts.get("use_pallas", "auto"),
                                reuse=bool(opts.get("reuse_solvers", True)),
                                layout=str(opts.get("layout", "auto")),
                                mesh=opts.get("mesh"))
@@ -540,7 +560,7 @@ def solve_dot(
                                 driver=str(opts.get("driver", "auto")),
                                 checkpoint_path=ckpt_path,
                                 device_kw=device_kw,
-                                use_pallas=bool(opts.get("use_pallas", False)),
+                                use_pallas=opts.get("use_pallas", "auto"),
                                 reuse=bool(opts.get("reuse_solvers", True)),
                                 layout=str(opts.get("layout", "auto")),
                                 mesh=opts.get("mesh"))

@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:  # pallas requires a TPU-capable lowering; import lazily-friendly
     from jax.experimental import pallas as pl
@@ -122,6 +123,242 @@ def make_sgs_pallas(geom: Geometry, D: float, eps: float = 0.0,
 
     cls = type("PallasSGSBound", (PallasSGS,), {"_pallas_sweep": staticmethod(fn)})
     return cls(*base)
+
+
+# ---------------------------------------------------------------------------
+# fused flat-layout solver step (the SURVEY section-7 "Pallas fusion pass")
+# ---------------------------------------------------------------------------
+#
+# The inPALM iteration after the phi DCT-solve is three bandwidth-bound
+# passes over the big cone arrays: z-step (BF gather -> Lorentz projection),
+# q-step (BF^T adjoint -> diagonal solve), multiplier update (BF gather ->
+# dual ascent). At the 513^2x65 scale XLA compiles them to many kernels with
+# every intermediate round-tripping HBM (measured 25 ms vs a ~7 ms logical
+# traffic bound). Here each pass is one Pallas kernel over lane-packed flat
+# blocks: per (time-full, TS-lane) tile all ten cone columns are built,
+# projected and consumed in VMEM. Spatial +-1/+-stride shifts are provided
+# as XLA-produced shifted copies (cheap fused passes), which keeps every
+# kernel purely element-wise per tile — no halo DMA.
+#
+# Scope: flat layout, float32, unweighted, 1D/2D (the production bench
+# path). Weighted/f64/shaped fall back to the jnp ops.
+
+_INV_SQRT2_F = 1.0 / math.sqrt(2.0)
+
+
+def _flat_sfwd(x, k, S):
+    """y[..., i] = x[..., i-k] with zero fill (ops/engine.py _sfwd)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+    return jnp.pad(x, pad)[..., :S]
+
+
+def _flat_sbwd(x, k, S):
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, k)]
+    return jnp.pad(x, pad)[..., k:]
+
+
+def _specs(nt, C, TS, n_bspec, d):
+    """Common BlockSpec builders for (nt,S)/(nt-1,S)/(C,nt-1,S) arrays."""
+    node = pl.BlockSpec((nt, TS), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cell = pl.BlockSpec((nt - 1, TS), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cone = pl.BlockSpec((C, nt - 1, TS), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    mask = pl.BlockSpec((1, TS), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return node, cell, cone, scal, mask
+
+
+def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
+                         dtype=jnp.float32, ts: int = 512,
+                         interpret: bool | None = None):
+    """Build the three fused kernels (z-step, q-step+alpha, beta-step) for
+    the flat layout. Returns a dict of callables operating on flat arrays:
+
+      z  = z_step(q0, bs, beta, sbf, sd)
+      q', a' = q_step(phi, z, beta, q0a(alpha), absa, diag, D, sbf, tau)
+      b' = beta_step(beta, z, q0', bs', sbf, sd, tau)
+
+    ``strides``/``masks`` come from the OpsFlat engine; scalars are traced.
+    Mirrors ops/engine.py OpsFlat.{bfd, bfd_T, grad} and ops/cone.proj_soc
+    exactly (same operation order, float32)."""
+    if not HAVE_PALLAS:
+        return None
+    d = geom.ndim_space
+    if d not in (1, 2):
+        return None
+    nt = geom.nt
+    C = 2 + 4 * d
+    S = int(np.prod(geom.space))
+    TS = min(ts, ((S + 127) // 128) * 128)
+    grid = ((S + TS - 1) // TS,)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    node, cell, cone, scal, mask_spec = _specs(nt, C, TS, None, d)
+    # divisions below mirror the jnp ops' operation order exactly so the
+    # pallas path stays numerically identical per op (f32 parity tests)
+    hs = [float(geom.hs(a)) for a in range(d)]
+    ht = float(geom.ht)
+
+    # ---------------- kernel A: z = proj_soc(bfd(q) - beta) --------------
+    def z_kernel(sc_ref, q0_ref, *rest):
+        b_refs = rest[:d]
+        bf_refs = rest[d:2 * d]
+        beta_ref = rest[2 * d]
+        z_ref = rest[2 * d + 1]
+        sbf = sc_ref[0, 0]
+        sd = sc_ref[0, 1]
+        s = sbf * _INV_SQRT2_F
+        q0 = q0_ref[:]
+        cols = [(sd - sbf * q0) - beta_ref[0]]
+        ci = 1
+        for a in range(d):
+            f = bf_refs[a][:]
+            b = b_refs[a][:]
+            for sl in (slice(0, nt - 1), slice(1, nt)):
+                cols.append(s * f[sl] - beta_ref[ci]); ci += 1
+                cols.append(s * b[sl] - beta_ref[ci]); ci += 1
+        cols.append((sd + sbf * q0) - beta_ref[C - 1])
+        z0 = cols[0]
+        nrm2 = cols[1] * cols[1]
+        for c in cols[2:]:
+            nrm2 = nrm2 + c * c
+        nrm = jnp.sqrt(nrm2)
+        safe = jnp.where(nrm > 0, nrm, 1.0)
+        coef = jnp.clip(0.5 * (1.0 + z0 / safe), 0.0, 1.0)
+        head = jnp.maximum(z0, coef * nrm)
+        z_ref[:] = jnp.stack([head] + [coef * c for c in cols[1:]], axis=0)
+
+    def z_step(q0, bs, beta, sbf, sd):
+        sc = jnp.zeros((1, 8), jnp.float32)
+        sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd)
+        bfs = [_flat_sfwd(bs[a], strides[a], S) for a in range(d)]
+        return pl.pallas_call(
+            z_kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
+            in_specs=[scal, cell] + [node] * (2 * d) + [cone],
+            out_specs=cone,
+            interpret=interpret,
+        )(sc, q0, *bs, *bfs, beta)
+
+    # ------------- kernel B: q-step + alpha multiplier -------------------
+    # x = z + beta; q2 = bfd_T(x); tmp = D*grad(phi);
+    # q' = (tmp + alpha + q2) * diag; alpha' = alpha + tau*(tmp - q')
+    def q_kernel(sc_ref, phi_ref, *rest):
+        i = 0
+        phis = rest[i:i + d]; i += d
+        z_ref = rest[i]; i += 1
+        beta_ref = rest[i]; i += 1
+        zbs_refs = rest[i:i + 2 * d]; i += 2 * d
+        a0_ref = rest[i]; i += 1
+        ab_refs = rest[i:i + d]; i += d
+        dg0_ref = rest[i]; i += 1
+        dgb_refs = rest[i:i + d]; i += d
+        mask_refs = rest[i:i + d]; i += d
+        out_q0, out_a0 = rest[i], rest[i + 1]
+        out_b = rest[i + 2:i + 2 + d]
+        out_ab = rest[i + 2 + d:i + 2 + 2 * d]
+
+        D = sc_ref[0, 0]
+        sbf = sc_ref[0, 1]
+        tau_v = sc_ref[0, 2]
+        s = sbf * _INV_SQRT2_F
+        phi = phi_ref[:]
+
+        def xcol(c):
+            return z_ref[c] + beta_ref[c]
+
+        # q0 block
+        tmp_q0 = D * ((phi[1:] - phi[:-1]) / ht)
+        q2_q0 = sbf * (xcol(C - 1) - xcol(0))
+        q0n = (tmp_q0 + a0_ref[:] + q2_q0) * dg0_ref[:]
+        out_q0[:] = q0n
+        out_a0[:] = a0_ref[:] + tau_v * (tmp_q0 - q0n)
+
+        zpad = jnp.zeros((1, phi.shape[-1]), phi.dtype)
+        for a in range(d):
+            m = mask_refs[a][:]  # (1, TS)
+            tmp_b = D * (((phis[a][:] - phi) / hs[a]) * m)
+            c0 = 1 + 4 * a
+            # cols: [t_lo&x_lo(shifted), t_lo&x_hi, t_hi&x_lo(shifted), t_hi&x_hi]
+            lo_sum = zbs_refs[2 * a][:] + xcol(c0 + 1)
+            hi_sum = zbs_refs[2 * a + 1][:] + xcol(c0 + 3)
+            acc = (jnp.concatenate([lo_sum, zpad], axis=0)
+                   + jnp.concatenate([zpad, hi_sum], axis=0))
+            q2_b = (s * acc) * m
+            bn = (tmp_b + ab_refs[a][:] + q2_b) * dgb_refs[a][:]
+            out_b[a][:] = bn
+            out_ab[a][:] = ab_refs[a][:] + tau_v * (tmp_b - bn)
+
+    def q_step(phi, z, beta, a0, abs_, dg0, dgbs, D, sbf, tau_v):
+        sc = jnp.zeros((1, 8), jnp.float32)
+        sc = sc.at[0, 0].set(D).at[0, 1].set(sbf).at[0, 2].set(tau_v)
+        phis = [_flat_sbwd(phi, strides[a], S) for a in range(d)]
+        # pre-shifted (z+beta) for the x_lo columns of each axis
+        zbs = []
+        for a in range(d):
+            c0 = 1 + 4 * a
+            zbs.append(_flat_sbwd(z[c0] + beta[c0], strides[a], S))
+            zbs.append(_flat_sbwd(z[c0 + 2] + beta[c0 + 2], strides[a], S))
+        masks2d = [m.reshape(1, S) for m in masks]
+        out_shape = (
+            [jax.ShapeDtypeStruct((nt - 1, S), dtype),
+             jax.ShapeDtypeStruct((nt - 1, S), dtype)]
+            + [jax.ShapeDtypeStruct((nt, S), dtype)] * (2 * d)
+        )
+        outs = pl.pallas_call(
+            q_kernel,
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=([scal, node] + [node] * d + [cone, cone]
+                      + [cell] * (2 * d) + [cell] + [node] * d
+                      + [cell] + [node] * d + [mask_spec] * d),
+            out_specs=[cell, cell] + [node] * (2 * d),
+            interpret=interpret,
+        )(sc, phi, *phis, z, beta, *zbs, a0, *abs_, dg0, *dgbs, *masks2d)
+        q0n, a0n = outs[0], outs[1]
+        bns = outs[2:2 + d]
+        abns = outs[2 + d:]
+        return q0n, list(bns), a0n, list(abns)
+
+    # ------------- kernel C: beta multiplier -----------------------------
+    # z2' = bfd(q'); beta' = beta + tau*(z - z2')
+    def b_kernel(sc_ref, q0_ref, *rest):
+        b_refs = rest[:d]
+        bf_refs = rest[d:2 * d]
+        beta_ref = rest[2 * d]
+        z_ref = rest[2 * d + 1]
+        out_ref = rest[2 * d + 2]
+        sbf = sc_ref[0, 0]
+        sd = sc_ref[0, 1]
+        tau_v = sc_ref[0, 2]
+        s = sbf * _INV_SQRT2_F
+        q0 = q0_ref[:]
+        cols = [sd - sbf * q0]
+        for a in range(d):
+            f = bf_refs[a][:]
+            b = b_refs[a][:]
+            for sl in (slice(0, nt - 1), slice(1, nt)):
+                cols.append(s * f[sl])
+                cols.append(s * b[sl])
+        cols.append(sd + sbf * q0)
+        rows = [beta_ref[c] + tau_v * (z_ref[c] - cols[c]) for c in range(C)]
+        out_ref[:] = jnp.stack(rows, axis=0)
+
+    def beta_step(beta, z, q0n, bns, sbf, sd, tau_v):
+        sc = jnp.zeros((1, 8), jnp.float32)
+        sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd).at[0, 2].set(tau_v)
+        bfs = [_flat_sfwd(bns[a], strides[a], S) for a in range(d)]
+        return pl.pallas_call(
+            b_kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
+            in_specs=[scal, cell] + [node] * (2 * d) + [cone, cone],
+            out_specs=cone,
+            interpret=interpret,
+        )(sc, q0n, *bns, *bfs, beta, z)
+
+    return {"z_step": z_step, "q_step": q_step, "beta_step": beta_step}
 
 
 # ---------------------------------------------------------------------------

@@ -69,8 +69,31 @@ class DctPoisson(NamedTuple):
 
 
 def _apply_axis(M: jax.Array, x: jax.Array, axis: int) -> jax.Array:
-    """Contract M over ``axis`` of x, keeping the axis in place (MXU matmul)."""
-    y = jnp.tensordot(M, x, axes=[[1], [axis]], precision=jax.lax.Precision.HIGHEST)
+    """Contract M over ``axis`` of x, keeping the axis in place (MXU matmul).
+
+    Written so no explicit transpose is materialized: leading axes become
+    dot_general batch dimensions and trailing axes fold into the matmul's
+    free dimension. (The earlier tensordot+moveaxis form cost a full HBM
+    relayout per transform — 6 per Poisson solve.)"""
+    nd = x.ndim
+    prec = jax.lax.Precision.HIGHEST
+    if axis == nd - 1:
+        # x @ M^T over the minor axis
+        return jax.lax.dot_general(
+            x, M, (((nd - 1,), (1,)), ((), ())), precision=prec
+        )
+    if axis == 0:
+        # M @ x over the major axis: fold trailing axes into one
+        shape = x.shape
+        y = jax.lax.dot_general(
+            M, x.reshape(shape[0], -1), (((1,), (0,)), ((), ())),
+            precision=prec,
+        )
+        return y.reshape(shape)
+    # middle axis: the contraction needs a relayout either way; the
+    # tensordot+moveaxis form compiles well (a reshape-free dot_general
+    # variant sent the 513^2 XLA compile into the weeds — do not revisit)
+    y = jnp.tensordot(M, x, axes=[[1], [axis]], precision=prec)
     return jnp.moveaxis(y, 0, axis)
 
 

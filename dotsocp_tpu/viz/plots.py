@@ -88,6 +88,44 @@ def show_evolution_2d(rho, mode: str = "imshow", title: str = "Density evolution
     return fig
 
 
+def show_evolution_3d(rho, axis: int = 0, title: str = "Density evolution (3D)",
+                      times: Sequence[float] = (0.0, 0.25, 0.5, 0.75, 1.0),
+                      slices: Sequence[float] = (0.25, 0.5, 0.75),
+                      save: Optional[str] = None):
+    """Grid of mid-volume slices of a 3D density over time: rows = slice
+    position along ``axis`` of the (nz, ny, nx) volume, columns = time.
+    A 3D-DOT capability the reference does not have (its viz layer is
+    1D/2D only — top-level ``utils/show_evolution_2d.m``)."""
+    plt = _mpl()
+    rho = np.asarray(rho)
+    nt = rho.shape[0]
+    tidx = [int(round(t * (nt - 1))) for t in times]
+    nslice = rho.shape[1 + axis]
+    sidx = [int(round(s * (nslice - 1))) for s in slices]
+    fig, axes = plt.subplots(
+        len(sidx), len(tidx), figsize=(2.4 * len(tidx), 2.4 * len(sidx)),
+        squeeze=False,
+    )
+    vmax = rho.max()
+    for r, si in enumerate(sidx):
+        for c, ti in enumerate(tidx):
+            frame = np.take(rho[ti], si, axis=axis)
+            ax = axes[r][c]
+            ax.imshow(frame, origin="lower", cmap="turbo", vmin=0, vmax=vmax)
+            if r == 0:
+                ax.set_title(f"t = {ti / (nt - 1):.2f}")
+            if c == 0:
+                ax.set_ylabel(f"slice {si}/{nslice - 1}")
+            ax.set_xticks([])
+            ax.set_yticks([])
+    fig.suptitle(title)
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=130)
+        plt.close(fig)
+    return fig
+
+
 def show_movement_2d(rho, Ex, Ey, title: str = "Density movement",
                      barrier_mask=None, t: float = 0.5, stride: int = 4,
                      save: Optional[str] = None):

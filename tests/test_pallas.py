@@ -41,3 +41,69 @@ def test_pallas_cone_matches_jnp(rng):
     ref = proj_soc(z2 - beta)
     out = cone_project_diff_pallas(z2, beta)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def _fused_pair(problem, n, nt, ndim):
+    from dotsocp_tpu.algorithms.core import LevelConfig
+    from dotsocp_tpu.algorithms.variants import InPALMKernels
+    from dotsocp_tpu.multilevel.level import initial_scaling, initialize
+
+    if ndim == 1:
+        from dotsocp_tpu.models.examples import get_example_1d
+
+        rho0, rho1 = get_example_1d(problem, n)
+    else:
+        from dotsocp_tpu.models.examples import get_example_2d
+
+        rho0, rho1 = get_example_2d(problem, n, n)
+    lv = initialize(rho0, rho1, nt, dtype=jnp.float32)
+    initial_scaling(lv, scaling=True)
+
+    def mk(up):
+        cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=1.9,
+                          dtype=jnp.float32, layout="flat", use_pallas=up)
+        return InPALMKernels(cfg)
+
+    return mk(False), mk(True), lv
+
+
+@pytest.mark.parametrize("ndim", [1, 2])
+def test_fused_flat_step_matches_jnp(ndim):
+    """The fused Pallas step (z-step -> q-step -> multipliers) must track
+    the jnp flat path to f32 rounding over several iterations."""
+    k0, k1, lv = _fused_pair(
+        "gaussian" if ndim == 1 else "example2", 33 if ndim == 1 else 17, 7,
+        ndim,
+    )
+    assert k1._fused is not None
+    s0 = k0.prep(lv.as_dict(), sigma=1.0)
+    s1 = k1.prep(lv.as_dict(), sigma=1.0)
+    for _ in range(5):
+        s0 = k0.run_one(s0)
+        s1 = k1.run_one(s1)
+    for name in ("phi", "z", "beta"):
+        a = np.asarray(getattr(s0, name))
+        b = np.asarray(getattr(s1, name))
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+    for name in ("q", "alpha"):
+        for x, y in zip(jax.tree.leaves(getattr(s0, name)),
+                        jax.tree.leaves(getattr(s1, name))):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=2e-5, atol=2e-6
+            )
+
+
+def test_fused_flat_step_kkt_consistent():
+    """KKT residuals computed on the fused-step iterate must agree with the
+    jnp-step iterate (the stopping rule sees the same numbers)."""
+    k0, k1, lv = _fused_pair("example2", 17, 7, 2)
+    s0 = k0.prep(lv.as_dict(), sigma=1.0)
+    s1 = k1.prep(lv.as_dict(), sigma=1.0)
+    for _ in range(3):
+        s0 = k0.run_one(s0)
+        s1 = k1.run_one(s1)
+    r0 = jax.device_get(k0.kkt(s0))
+    r1 = jax.device_get(k1.kkt(s1))
+    # atol floors numerically-zero residuals (~1e-9 at early iterations)
+    np.testing.assert_allclose(r1["kkt_org"], r0["kkt_org"], rtol=1e-3,
+                               atol=1e-7)

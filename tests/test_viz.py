@@ -46,6 +46,24 @@ def test_all_plots_render(tmp_path):
         assert os.path.exists(path) and os.path.getsize(path) > 0, path
 
 
+def test_show_evolution_3d_renders(tmp_path):
+    rho = np.abs(np.random.default_rng(0).standard_normal((5, 7, 8, 9)))
+    p = str(tmp_path / "e3.png")
+    plots.show_evolution_3d(rho, save=p)
+    assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_example_3d_generators():
+    from dotsocp_tpu.models.examples import get_example_3d
+
+    for prob in ("gaussian", "split8"):
+        rho0, rho1 = get_example_3d(prob, 9, 11, 13)
+        assert rho0.shape == (13, 11, 9)
+        np.testing.assert_allclose(rho0.mean(), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(rho1.mean(), 1.0, rtol=1e-12)
+        assert (rho0 >= 0).all() and (rho1 >= 0).all()
+
+
 def test_violation_q_formula():
     q0 = np.array([[-1.0, 0.5]])
     bs = [np.array([[1.0, 2.0]])]
