@@ -132,7 +132,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         layout = "3d"
     if layout == "auto":
         layout = "flat"
-    use_pallas = _resolve_pallas(use_pallas, lv, dtype, layout)
+    use_pallas = _resolve_pallas(use_pallas, lv, dtype, layout, method)
     if reuse:
         key = _solver_cache_key(method, lv, o, dtype, driver,
                                 checkpoint_path, device_kw, use_pallas,
@@ -164,17 +164,18 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     return solver
 
 
-def _resolve_pallas(use_pallas, lv, dtype, layout) -> bool:
-    """'auto' turns the fused Pallas step on where it wins: large grids
-    (the XLA path loses cross-pass fusion there — BASELINE.md 513^2 numbers)
-    on the flat f32 unweighted path on a real TPU. Small grids keep the XLA
-    path (measured at parity or better at 129^2)."""
+def _resolve_pallas(use_pallas, lv, dtype, layout, method) -> bool:
+    """'auto' turns the Pallas kernels on where they win: large grids on a
+    real TPU in f32 — the fused step for the flat inPALM family (XLA loses
+    cross-pass fusion at 513^2: BASELINE.md), the tiled halo sweep for the
+    sGS family (3.8x per sweep at 513^2x65). Small grids keep the XLA path
+    (measured at parity or better at 129^2)."""
     if use_pallas != "auto":
         return bool(use_pallas)
     import numpy as _np
 
     return (
-        layout == "flat"
+        (layout == "flat" or _is_sgs(method))
         and lv.weight is None
         and jnp.dtype(dtype) == jnp.float32
         and int(_np.prod(lv.geom.space)) >= 200_000
@@ -200,9 +201,7 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     )
     w = lv.weight
     use_device = driver == "device" or mesh is not None or (
-        driver == "auto"
-        and not o.check_step_by_step
-        and method in ("inPALM", "ALG2", "PALM", "acc-ADMM")
+        driver == "auto" and not o.check_step_by_step
     )
     dev_kw = dict(device_kw or {})
     if mesh is not None:
@@ -239,12 +238,13 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
             return AccDeviceDriver(k, o, checkpoint_path=checkpoint_path,
                                    **dev_kw)
         return AccADMMSolver(k, o)
+    # sGS variants: the device drivers replicate the host win-count sigma
+    # machinery exactly (tests/test_device_driver.py parity tests), so
+    # 'auto' promotes them like the inPALM family; the host driver remains
+    # the readable parity oracle (driver='host').
     if method == "sGS-inPALM":
         k = SgsKernels(cfg, w)
-        if driver == "device" or mesh is not None:
-            # device loop available on request (auto keeps the host
-            # driver: its win-count strategy is the reference-readable
-            # implementation and the parity oracle)
+        if use_device:
             from ..algorithms.device_sgs import SgsDeviceDriver
 
             return SgsDeviceDriver(k, o, checkpoint_path=checkpoint_path,
@@ -252,7 +252,7 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         return SgsInPALMSolver(k, o)
     if method == "acc-sGS-ADMM":
         k = AccSgsADMMKernels(cfg, w, restart=o.restart, rho=o.rho)
-        if driver == "device" or mesh is not None:
+        if use_device:
             from ..algorithms.device_sgs import AccSgsDeviceDriver
 
             return AccSgsDeviceDriver(k, o, checkpoint_path=checkpoint_path,

@@ -111,13 +111,139 @@ class PallasSGS(RedBlackSGS):
         return phi
 
 
+def make_sgs_sweep_pallas_tiled(geom: Geometry, D: float, dtype=jnp.float32,
+                                tile_rows: int = 4,
+                                interpret: bool | None = None):
+    """Row-tiled symmetric red-black sweep for 2D fields too large for the
+    whole-field VMEM kernel (513^2 x 65 f32 is a 68 MB field). The grid
+    tiles the y axis; each tile carries a ``tile_rows``-row halo view on
+    each side (the same HBM array passed three times with offset index
+    maps — the 3 chained half-sweeps have dependence depth 3 rows). Halo
+    regions are recomputed, domain edges masked by global row index.
+    t and x stay whole per tile (the t axis is small; x tiles lanes)."""
+    if not HAVE_PALLAS:
+        return None
+    if geom.ndim_space != 2:
+        return None
+    nt = geom.nt
+    ny, nx = geom.space
+    R = tile_rows
+    if ny <= 3 * R:
+        return None  # whole-field kernel territory
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    grid_n = (ny + R - 1) // R
+    h2inv = tuple(float((n - 1) ** 2) for n in (geom.nt, ny, nx))
+    scale = float(D) ** 2
+    EROWS = 3 * R  # lo-halo R + body R + hi-halo R
+
+    # Tiles run over the y axis moved to the FRONT: block (R, nt, nx) keeps
+    # the last two block dims equal to the full array dims (the TPU
+    # lowering's alignment rule), so any R works. The (t,y,x)->(y,t,x)
+    # transposes around the sweep are two cheap relayout passes.
+    def _nbr(p, gr):
+        """Neighbour sum over (rows, t, x); Neumann-edge masking on the
+        global row index ``gr``; t/x edges handled by zero pads."""
+        out = jnp.zeros_like(p)
+        wy = h2inv[1]
+        up = jnp.pad(p[:-1], ((1, 0), (0, 0), (0, 0)))
+        dn = jnp.pad(p[1:], ((0, 1), (0, 0), (0, 0)))
+        out = out + wy * jnp.where(gr > 0, up, 0.0)
+        out = out + wy * jnp.where(gr < ny - 1, dn, 0.0)
+        wt = h2inv[0]
+        out = out + wt * jnp.pad(p[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        out = out + wt * jnp.pad(p[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        wx = h2inv[2]
+        out = out + wx * jnp.pad(p[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+        out = out + wx * jnp.pad(p[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+        return out
+
+    def _inv_diag(gr, shape, dtype):
+        """1/diag computed in-kernel from coordinates (saves one HBM input
+        array: the sweep is bandwidth-bound, the divide is free VPU work).
+        diag = D^2 * sum_axis w_a * deg_a, deg = 2 interior / 1 at edges
+        (mirrors ops/sgs.make_sgs)."""
+        it = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+
+        def deg(idx, n):
+            return jnp.where((idx == 0) | (idx == n - 1), 1.0, 2.0)
+
+        diag = (h2inv[0] * deg(it, nt) + h2inv[1] * deg(gr, ny)
+                + h2inv[2] * deg(ix, nx))
+        return (1.0 / (scale * diag)).astype(dtype)
+
+    def kernel(phi_lo, phi_c, phi_hi, rhs_lo, rhs_c, rhs_hi, out_ref):
+        i = pl.program_id(0)
+        row0 = i * R - RH  # global row of the extended tile's first row
+        p = jnp.concatenate([phi_lo[:], phi_c[:], phi_hi[:]], axis=0)
+        r = jnp.concatenate([rhs_lo[:], rhs_c[:], rhs_hi[:]], axis=0)
+        gr = row0 + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        invd = _inv_diag(gr, p.shape, p.dtype)
+        # parity over (y, t, x)
+        acc = (gr + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+               + jax.lax.broadcasted_iota(jnp.int32, p.shape, 2))
+        mask_a = (acc % 2) == 0
+        valid = (gr >= 0) & (gr < ny)
+        for color_a in (False, True, False):
+            new = (r + scale * _nbr(p, gr)) * invd
+            m = mask_a if color_a else ~mask_a
+            p = jnp.where(m & valid, new, p)
+        out_ref[:] = p[RH:RH + R]
+
+    RH = R  # halo rows per side (>= 3, the half-sweep dependence depth)
+
+    def view(off):
+        # same array three times: lo (block i-1), body (i), hi (block i+1);
+        # edge tiles clamp to a valid block — their contribution is masked
+        # by the global-row validity test in the kernel
+        def imap(i):
+            j = jnp.clip(i + off, 0, grid_n - 1)
+            return (j, 0, 0)
+
+        return pl.BlockSpec((R, nt, nx), imap, memory_space=pltpu.VMEM)
+
+    in_specs = [view(-1), view(0), view(1)] * 2
+    out_spec = pl.BlockSpec((R, nt, nx), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def sweep(phi, rhs, inv_diag=None):
+        # inv_diag accepted for interface parity; recomputed in-kernel
+        pad = grid_n * R - ny
+
+        def prep(x):
+            x = jnp.transpose(x, (1, 0, 2))  # (ny, nt, nx)
+            if pad:
+                x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+            return x
+
+        phi_p, rhs_p = prep(phi), prep(rhs)
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid_n,),
+            out_shape=jax.ShapeDtypeStruct(phi_p.shape, phi.dtype),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(phi_p, phi_p, phi_p, rhs_p, rhs_p, rhs_p)
+        return jnp.transpose(out[:ny], (1, 0, 2))
+
+    return sweep
+
+
 def make_sgs_pallas(geom: Geometry, D: float, eps: float = 0.0,
                     dtype=jnp.float32):
-    """Drop-in for ops.sgs.make_sgs with the Pallas sweep when it fits."""
+    """Drop-in for ops.sgs.make_sgs with the Pallas sweep: whole-field VMEM
+    kernel when it fits, row-tiled halo kernel above the budget."""
     from .sgs import make_sgs
 
     base = make_sgs(geom, D, eps, dtype)
     fn = make_sgs_sweep_pallas(geom, D, dtype)
+    if fn is None and geom.ndim_space == 2:
+        tiled = make_sgs_sweep_pallas_tiled(geom, D, dtype)
+        if tiled is not None:
+            fn = tiled
     if fn is None:
         return base
 

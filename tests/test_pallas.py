@@ -43,6 +43,27 @@ def test_pallas_cone_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_pallas_sgs_tiled_matches_jnp(rng):
+    """Row-tiled halo sweep (for fields above the whole-field VMEM budget)
+    vs the jnp reference, including chained sweeps and edge tiles."""
+    from dotsocp_tpu.ops.pallas_kernels import make_sgs_sweep_pallas_tiled
+
+    geom = Geometry(nt=7, space=(29, 17))
+    D = 0.8
+    ref = make_sgs(geom, D, dtype=jnp.float32)
+    tiled = make_sgs_sweep_pallas_tiled(geom, D, jnp.float32, tile_rows=4,
+                                        interpret=True)
+    assert tiled is not None
+    phi = jnp.asarray(rng.standard_normal(geom.phi_shape), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal(geom.phi_shape), jnp.float32)
+    a = phi
+    b = phi
+    for _ in range(2):
+        a = ref.sweep(a, rhs, its=1)
+        b = tiled(b, rhs)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6)
+
+
 def _fused_pair(problem, n, nt, ndim):
     from dotsocp_tpu.algorithms.core import LevelConfig
     from dotsocp_tpu.algorithms.variants import InPALMKernels
