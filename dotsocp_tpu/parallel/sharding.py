@@ -63,25 +63,30 @@ def state_shardings(mesh: Mesh, batched: bool = True,
     """NamedSharding pytree for a (possibly batch-leading) SolverState.
 
     Layouts: centered/staggered fields shard (y, x) on their trailing
-    spatial axes; the cone-column and time axes stay local; scalars are
-    replicated. ``carry_z2`` must match the kernels' flag (states built by
-    kernels with ``carry_z2=False`` hold None in the z2 slot)."""
+    spatial axes; when the mesh has a ``t`` axis the leading time axis
+    shards too (the workload's "long-context" axis, SURVEY.md section 5 —
+    BF couples adjacent time slabs only, so its halo is one slab, and the
+    DCT-in-t becomes a distributed matmul); the cone-column axis stays
+    local; scalars are replicated. ``carry_z2`` must match the kernels'
+    flag (states built by kernels with ``carry_z2=False`` hold None in the
+    z2 slot)."""
     ndim_space = len([a for a in ("y", "x") if a in mesh.axis_names])
+    t = "t" if "t" in mesh.axis_names else None
 
     def sh(*spec):
         return NamedSharding(mesh, _maybe_batch(P(*spec), batched))
 
     if ndim_space == 2:
-        centered = sh(None, "y", "x")       # (nt, ny, nx)
-        zlike = sh(None, None, "y", "x")    # (C, nt-1, ny, nx)
+        centered = sh(t, "y", "x")          # (nt, ny, nx)
+        zlike = sh(None, t, "y", "x")       # (C, nt-1, ny, nx)
         stag = Staggered(
-            q0=sh(None, "y", "x"),
-            bs=(sh(None, "y", "x"), sh(None, "y", "x")),
+            q0=sh(t, "y", "x"),
+            bs=(sh(t, "y", "x"), sh(t, "y", "x")),
         )
     else:
-        centered = sh(None, "x")
-        zlike = sh(None, None, "x")
-        stag = Staggered(q0=sh(None, "x"), bs=(sh(None, "x"),))
+        centered = sh(t, "x")
+        zlike = sh(None, t, "x")
+        stag = Staggered(q0=sh(t, "x"), bs=(sh(t, "x"),))
     scalar = NamedSharding(mesh, P("batch") if batched else P())
     return SolverState(
         phi=centered,

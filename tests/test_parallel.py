@@ -65,6 +65,30 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(b[i], a, rtol=1e-10, atol=1e-12)
 
 
+def test_t_sharded_step_matches_single_device():
+    """Time-axis (long-axis) sharding: mesh (t, y, x) — SURVEY.md section 5's
+    "long-context" analogue. BF couples adjacent time slabs only, so the
+    t halo is one slab; the DCT-in-t runs as a distributed matmul."""
+    k, s = _setup()
+    mesh = make_mesh(8, axis_names=("t", "y", "x"))
+    step = make_sharded_step(k, mesh, batched=False)
+
+    ref = s
+    out = s
+    for _ in range(3):
+        ref = k.run_one(ref)
+        out = step(out)
+    np.testing.assert_allclose(
+        np.asarray(out.phi), np.asarray(ref.phi), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.z), np.asarray(ref.z), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.q.q0), np.asarray(ref.q.q0), rtol=1e-10, atol=1e-12
+    )
+
+
 def test_sharded_kkt_matches():
     k, s = _setup()
     mesh = make_mesh(8)
