@@ -110,8 +110,13 @@ class LevelConfig:
     use_pallas: bool = False
     # "3d": shaped arrays (sharding-friendly, sGS); "flat": spatial axes
     # flattened into one lane-packed axis (the single-chip fast path —
-    # see ops/engine.py for why 2^k+1 grids pay ~2x HBM otherwise)
+    # see ops/engine.py for why 2^k+1 grids pay ~2x HBM otherwise);
+    # "halo": shaped arrays padded to mesh-divisible sizes with shard_map
+    # ppermute halo stencils (the multi-chip path, ops/halo_engine.py) —
+    # requires ``mesh``
     layout: str = "3d"
+    # mesh for layout="halo" (spatial axes "y"/"x"); ignored otherwise
+    mesh: Optional[object] = None
     # Whether the cached z2 = BFd(q) is carried in SolverState. z2 is
     # derivable from q (same op, same inputs — equal to FMA-contraction
     # noise), so carrying it costs a full z-sized HBM write + read per
@@ -133,7 +138,7 @@ class Kernels:
         dtype = cfg.dtype
         self.geom = geom
         self.carry_z2 = (cfg.carry_z2 if cfg.carry_z2 is not None else False)
-        self.ops = make_ops(geom, dtype, cfg.layout)
+        self.ops = make_ops(geom, dtype, cfg.layout, cfg.mesh)
         # unit-D build: the solve multiplies by the traced 1/D^2 at use time
         self.poisson = self.ops.make_poisson(1.0)
         if weight is None or not cfg.weighted:
@@ -332,7 +337,7 @@ class Kernels:
 
         scale = s.sigma * s.cScale * s.dScale * h
         pri_val = scale * s.q.dot(s.alpha)
-        dual_val = scale * jnp.vdot(s.c, s.phi)
+        dual_val = scale * jnp.sum(s.c * s.phi)  # vdot ravels -> gathers
         pd_gap = jnp.abs(pri_val - dual_val) / (1 + jnp.abs(pri_val) + jnp.abs(dual_val))
 
         out = {

@@ -49,6 +49,22 @@ def _cadence_gap(it):
     return _CADENCE_GAPS[idx]
 
 
+def _next_check_it(it, last):
+    """Closed-form next cadence point > it (device version of
+    ``driver.next_check_iter``): for each threshold region [lo, hi) with
+    gap t, the candidate is max(it+1, last+t, lo), valid when < hi; the
+    answer is the min over valid candidates.
+
+    Per-iteration lax.cond in a loop body costs ~5-10 ms on this backend,
+    so loop bodies run event-free fori segments between the points this
+    computes (shared by the single-instance and batched drivers)."""
+    lo = jnp.concatenate([jnp.zeros((1,), jnp.int32), _CADENCE_EDGES])
+    hi = jnp.concatenate([_CADENCE_EDGES, jnp.full((1,), 2**30, jnp.int32)])
+    cand = jnp.maximum(jnp.maximum(it + 1, last + _CADENCE_GAPS), lo)
+    valid = cand < hi
+    return jnp.min(jnp.where(valid, cand, 2**30))
+
+
 def _cadence_check_sgs(it, last, scale: float):
     """IfAdjustSigma of the sGS variants with the n^(1/3)/33 slowdown."""
     it_s = it.astype(jnp.float32) / scale
@@ -304,25 +320,7 @@ class DeviceDriver:
                 hist_n=hist_n,
             )
 
-        def next_check_it(it, last):
-            """Closed-form next cadence point > it (device version of
-            ``driver.next_check_iter``): for each threshold region
-            [lo, hi) with gap t, the candidate is max(it+1, last+t, lo),
-            valid when < hi; the answer is the min over valid candidates.
-
-            Per-iteration lax.cond in the loop body costs ~5-10 ms on this
-            backend, so the body runs event-free fori segments between the
-            points this computes.
-            """
-            lo = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), _CADENCE_EDGES]
-            )
-            hi = jnp.concatenate(
-                [_CADENCE_EDGES, jnp.full((1,), 2**30, jnp.int32)]
-            )
-            cand = jnp.maximum(jnp.maximum(it + 1, last + _CADENCE_GAPS), lo)
-            valid = cand < hi
-            return jnp.min(jnp.where(valid, cand, 2**30))
+        next_check_it = _next_check_it  # module-level, shared with batch.py
 
         def next_rescale_stop(ls):
             """it-position (completed iterations) just before the next

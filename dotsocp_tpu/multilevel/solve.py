@@ -129,7 +129,12 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     forces shaped arrays (the y/x sharding is annotated on the 2-D spatial
     axes)."""
     if mesh is not None:
-        layout = "3d"
+        # "halo": padded shard_map stencils (ops/halo_engine.py) — opt-in,
+        # non-sGS only (the sGS sweep wants the unpadded shaped field);
+        # default "3d" shaped arrays with GSPMD constraint sharding.
+        layout = "halo" if (layout == "halo" and not _is_sgs(method)) else "3d"
+    elif layout == "halo":
+        layout = "flat"  # halo without a mesh is meaningless
     if layout == "auto":
         layout = "flat"
     use_pallas = _resolve_pallas(use_pallas, lv, dtype, layout, method)
@@ -198,6 +203,7 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         dtype=dtype,
         use_pallas=use_pallas,
         layout=layout,
+        mesh=mesh if layout == "halo" else None,
     )
     w = lv.weight
     use_device = driver == "device" or mesh is not None or (

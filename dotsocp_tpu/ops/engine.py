@@ -311,7 +311,11 @@ class _FlatPoisson:
         return out.reshape(rhs.shape)
 
 
-def make_ops(geom: Geometry, dtype, layout: str):
+def make_ops(geom: Geometry, dtype, layout: str, mesh=None):
     if layout == "flat":
         return OpsFlat(geom, dtype)
+    if layout == "halo":
+        from .halo_engine import OpsHalo
+
+        return OpsHalo(geom, dtype, mesh)
     return Ops3D(geom, dtype)

@@ -54,8 +54,10 @@ class Staggered(NamedTuple):
         return sum(parts)
 
     def dot(self, other: "Staggered") -> jax.Array:
-        parts = [jnp.vdot(self.q0, other.q0)]
-        parts += [jnp.vdot(a, b) for a, b in zip(self.bs, other.bs)]
+        # jnp.sum(a*b), not vdot: vdot ravels, and flattening a spatially
+        # sharded array forces a full all-gather under GSPMD
+        parts = [jnp.sum(self.q0 * other.q0)]
+        parts += [jnp.sum(a * b) for a, b in zip(self.bs, other.bs)]
         return sum(parts)
 
     @property

@@ -33,6 +33,7 @@ from ..algorithms.core import Kernels, LevelConfig, SolverState
 from ..algorithms.driver import SolveOptions
 from ..algorithms.device_driver import (
     _cadence_gap,
+    _next_check_it,
     _table_factor,
     SIGMA_BOUNDS,
 )
@@ -164,20 +165,38 @@ class BatchedDeviceDriver:
                 kkt_last=kkt_org.astype(ls.kkt_last.dtype),
             )
 
-        def body(ls: BatchLoopState) -> BatchLoopState:
+        def one_iter(_, ls: BatchLoopState) -> BatchLoopState:
             s_new = vstep(ls.s)
             s = _tree_where(ls.done, ls.s, s_new)  # freeze converged
-            ls = ls._replace(s=s, it=ls.it + 1)
-            check = (ls.it - ls.last_sigma_it) >= _cadence_gap(ls.it)
-            return jax.lax.cond(check | (ls.it >= maxit), check_block,
-                                lambda x: x, ls)
+            return ls._replace(s=s, it=ls.it + 1)
+
+        def body(carry):
+            """Event-driven segment: the KKT cadence is data-independent
+            (shared across instances), so the body runs an event-free
+            fori segment to the next cadence point and checks once —
+            the same trick as the single-instance device driver (a
+            per-iteration lax.cond costs ~5-10 ms on this backend)."""
+            ls, it_end = carry
+            stop = jnp.minimum(
+                _next_check_it(ls.it, ls.last_sigma_it),
+                jnp.minimum(it_end, maxit),
+            )
+            ls = jax.lax.fori_loop(0, jnp.maximum(stop - ls.it, 0),
+                                   one_iter, ls)
+            at_check = ((ls.it - ls.last_sigma_it) >= _cadence_gap(ls.it)) | (
+                ls.it >= maxit
+            )
+            ls = jax.lax.cond(at_check, check_block, lambda x: x, ls)
+            return ls, it_end
 
         @jax.jit
         def chunk(ls: BatchLoopState, it_end) -> BatchLoopState:
-            def cond(ls):
-                return (~jnp.all(ls.done)) & (ls.it < it_end)
+            def cond(carry):
+                ls, end = carry
+                return (~jnp.all(ls.done)) & (ls.it < end)
 
-            return jax.lax.while_loop(cond, body, ls)
+            ls, _ = jax.lax.while_loop(cond, body, (ls, it_end))
+            return ls
 
         return chunk
 

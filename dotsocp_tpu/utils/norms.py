@@ -15,7 +15,10 @@ def norm_l2(x, h) -> jax.Array:
     """
     if isinstance(x, Staggered):
         return jnp.sqrt(h * x.sqnorm())
-    return jnp.sqrt(h) * jnp.linalg.norm(x.reshape(-1))
+    # shape-preserving reduction: reshape(-1) of a spatially-sharded array
+    # forces GSPMD to all-gather it (a flattened 2-D-sharded layout has no
+    # sharded representation); sum over axes reduces shard-locally + psum
+    return jnp.sqrt(h * jnp.sum(jnp.square(x)))
 
 
 def integral_l2(f: jax.Array, axis=None) -> jax.Array:
@@ -36,4 +39,4 @@ def sdot(x, y, h=1.0) -> jax.Array:
     """h-scaled inner product; accepts Staggered or arrays."""
     if isinstance(x, Staggered):
         return h * x.dot(y)
-    return h * jnp.vdot(x, y)
+    return h * jnp.sum(x * y)  # vdot ravels -> all-gather under sharding

@@ -1,0 +1,128 @@
+"""Halo-exchange layout engine (ops/halo_engine.py): the padded shard_map
+stencils must match the shaped Ops3D operators exactly, and an end-to-end
+sharded solve through it must reproduce the single-device trajectory."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dotsocp_tpu.ops.engine import Ops3D, make_ops
+from dotsocp_tpu.ops.geometry import Geometry
+from dotsocp_tpu.ops.staggered import Staggered
+from dotsocp_tpu.parallel.sharding import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup2d():
+    geom = Geometry(nt=5, space=(17, 17))
+    mesh = make_mesh(8, axis_names=("y", "x"))
+    o3 = Ops3D(geom, jnp.float64)
+    oh = make_ops(geom, jnp.float64, "halo", mesh)
+    rng = np.random.RandomState(0)
+    phi = jnp.asarray(rng.randn(5, 17, 17))
+    st = Staggered(
+        q0=jnp.asarray(rng.randn(4, 17, 17)),
+        bs=(jnp.asarray(rng.randn(5, 16, 17)),
+            jnp.asarray(rng.randn(5, 17, 16))),
+    )
+    z = jnp.asarray(rng.randn(10, 4, 17, 17))
+    return geom, o3, oh, phi, st, z
+
+
+def test_halo_grad(setup2d):
+    _, o3, oh, phi, _, _ = setup2d
+    g3 = o3.grad(phi)
+    gh = oh.stag_from_internal(oh.grad(oh.phi_to_internal(phi)))
+    np.testing.assert_array_equal(np.asarray(g3.q0), np.asarray(gh.q0))
+    for a, b in zip(g3.bs, gh.bs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_halo_grad_T(setup2d):
+    _, o3, oh, _, st, _ = setup2d
+    t3 = o3.grad_T(st)
+    th = oh.phi_from_internal(oh.grad_T(oh.stag_to_internal(st)))
+    np.testing.assert_array_equal(np.asarray(t3), np.asarray(th))
+
+
+def test_halo_bfd(setup2d):
+    _, o3, oh, _, st, _ = setup2d
+    b3 = o3.bfd(st, 1.3, 0.7)
+    bh = oh.z_from_internal(oh.bfd(oh.stag_to_internal(st), 1.3, 0.7))
+    np.testing.assert_array_equal(np.asarray(b3), np.asarray(bh))
+
+
+def test_halo_bfd_pads_stay_zero(setup2d):
+    """The +scale_d constant must not leak into pad cells (z/beta pads rely
+    on proj_soc(0) = 0 staying zero through the whole iteration)."""
+    geom, _, oh, _, st, _ = setup2d
+    zi = oh.bfd(oh.stag_to_internal(st), 1.3, 0.7)
+    pads = np.asarray(zi)[:, :, geom.space[0]:, :]
+    np.testing.assert_array_equal(pads, 0.0)
+    pads = np.asarray(zi)[:, :, :, geom.space[1]:]
+    np.testing.assert_array_equal(pads, 0.0)
+
+
+def test_halo_bfd_T(setup2d):
+    _, o3, oh, _, _, z = setup2d
+    c3 = o3.bfd_T(z, 0.9)
+    ch = oh.stag_from_internal(oh.bfd_T(oh.z_to_internal(z), 0.9))
+    np.testing.assert_array_equal(np.asarray(c3.q0), np.asarray(ch.q0))
+    for a, b in zip(c3.bs, ch.bs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_halo_poisson(setup2d):
+    _, o3, oh, phi, _, _ = setup2d
+    p3 = o3.make_poisson(1.0)
+    ph = oh.make_poisson(1.0)
+    s3 = p3.solve(phi, scale=0.5)
+    sh = oh.phi_from_internal(ph.solve(oh.phi_to_internal(phi), scale=0.5))
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(sh),
+                               rtol=1e-13, atol=1e-14)
+
+
+def test_halo_1d_ops():
+    geom = Geometry(nt=5, space=(33,))
+    mesh = make_mesh(8, axis_names=("x",))
+    o3 = Ops3D(geom, jnp.float64)
+    oh = make_ops(geom, jnp.float64, "halo", mesh)
+    rng = np.random.RandomState(1)
+    st = Staggered(q0=jnp.asarray(rng.randn(4, 33)),
+                   bs=(jnp.asarray(rng.randn(5, 32)),))
+    z = jnp.asarray(rng.randn(6, 4, 33))
+    b3 = o3.bfd(st, 1.1, 0.3)
+    bh = oh.z_from_internal(oh.bfd(oh.stag_to_internal(st), 1.1, 0.3))
+    np.testing.assert_array_equal(np.asarray(b3), np.asarray(bh))
+    c3 = o3.bfd_T(z, 0.8)
+    ch = oh.stag_from_internal(oh.bfd_T(oh.z_to_internal(z), 0.8))
+    np.testing.assert_array_equal(np.asarray(c3.q0), np.asarray(ch.q0))
+    np.testing.assert_array_equal(np.asarray(c3.bs[0]), np.asarray(ch.bs[0]))
+
+
+def test_halo_solve_matches_trajectory():
+    """Full multilevel solve on the halo layout (opts mesh + layout='halo')
+    vs the single-device run: identical iteration counts, close KKT."""
+    from dotsocp_tpu.models.examples import get_example_2d
+    from dotsocp_tpu.multilevel.solve import solve_dot
+
+    rho0, rho1 = get_example_2d("example2", 33, 33)
+    opts = {"tol": 1e-4, "driver": "device"}
+    out1, hml1, _ = solve_dot(rho0, rho1, 9, 2, dict(opts), "inPALM",
+                              dtype=jnp.float32, verbose=False)
+    mesh = make_mesh(8, axis_names=("y", "x"))
+    out2, hml2, _ = solve_dot(rho0, rho1, 9, 2,
+                              dict(opts, mesh=mesh, layout="halo"),
+                              "inPALM", dtype=jnp.float32, verbose=False)
+    i1 = [l["iters"] for l in out1["levels"]]
+    i2 = [l["iters"] for l in out2["levels"]]
+    assert i1 == i2
+    assert bool(out2["mass_ok"])
+    np.testing.assert_allclose(hml1["kkt"][-1], hml2["kkt"][-1],
+                               rtol=0.05, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out1["rho"]),
+                               np.asarray(out2["rho"]), atol=1e-2)
