@@ -145,16 +145,18 @@ class Kernels:
             self.weight = None
         else:
             self.weight = self.ops.weight_to_internal(weight.astype(dtype))
-        # fused Pallas step (SURVEY section-7 step 5): flat f32 unweighted
-        # 1D/2D only; everything else stays on the jnp ops
+        # fused Pallas step (SURVEY section-7 step 5): flat f32 1D/2D,
+        # weighted or not (the weight is a diagonal operand of the q-step
+        # kernel); everything else stays on the jnp ops
         self._fused = None
-        if (cfg.use_pallas and cfg.layout == "flat" and self.weight is None
+        if (cfg.use_pallas and cfg.layout == "flat"
                 and jnp.dtype(dtype) == jnp.float32
                 and geom.ndim_space in (1, 2)):
             from ..ops.pallas_kernels import make_fused_flat_step
 
             self._fused = make_fused_flat_step(
-                geom, self.ops.strides, self.ops.masks, cfg.tau, dtype
+                geom, self.ops.strides, self.ops.masks, cfg.tau, dtype,
+                weight=self.weight,
             )
         self._build()
 
@@ -220,7 +222,7 @@ class Kernels:
         f = self._fused
         sbf = s.E / s.D
         sd = s.E / s.dScale
-        rhs = s.D * ops.grad_T(s.q - s.alpha) + s.c
+        rhs = s.D * ops.grad_T(self._w(s.q) - s.alpha) + s.c
         phi = self._poisson_solve(s, rhs)
         z = f["z_step"](s.q.q0, list(s.q.bs), s.beta, sbf, sd)
         q0n, bns, a0n, abns = f["q_step"](

@@ -191,12 +191,23 @@ def barrier_example6(resources: Optional[str] = None) -> Callable:
 # weights on the staggered grid
 # ---------------------------------------------------------------------------
 
+def _default_dtype(dtype):
+    """None -> the active JAX default float (f64 under x64, else f32), so
+    building weights without x64 emits no truncation warnings."""
+    if dtype is not None:
+        return dtype
+    import jax
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def get_weight_by_barrier(nx: int, ny: int, nt: int,
                           barrier: Optional[Callable] = None,
-                          dtype=jnp.float64) -> Staggered:
+                          dtype=None) -> Staggered:
     """Weight 1 everywhere, BARRIER_WEIGHT on faces inside the barrier,
     evaluated on the staggered x/y grids (``get_weight_by_barrier.m:12-31``);
     the time block is identically 1."""
+    dtype = _default_dtype(dtype)
     geom = Geometry(nt=nt, space=(ny, nx))
     hx, hy = 1.0 / (nx - 1), 1.0 / (ny - 1)
     x_stag = np.linspace(0.5 * hx, 1 - 0.5 * hx, nx - 1)
@@ -216,7 +227,8 @@ def get_weight_by_barrier(nx: int, ny: int, nt: int,
     return Staggered(q0=q0, bs=(by, bx))
 
 
-def _radial_weight(nx, ny, nt, func, dtype=jnp.float64) -> Staggered:
+def _radial_weight(nx, ny, nt, func, dtype=None) -> Staggered:
+    dtype = _default_dtype(dtype)
     geom = Geometry(nt=nt, space=(ny, nx))
     hx, hy = 1.0 / (nx - 1), 1.0 / (ny - 1)
     x_stag = np.linspace(0.5 * hx, 1 - 0.5 * hx, nx - 1)
@@ -235,7 +247,7 @@ def _radial_weight(nx, ny, nt, func, dtype=jnp.float64) -> Staggered:
     return Staggered(q0=q0, bs=(by, bx))
 
 
-def gene_weight_circle(nt, nx, ny, dtype=jnp.float64) -> Staggered:
+def gene_weight_circle(nt, nx, ny, dtype=None) -> Staggered:
     """Radial distance weight, normalized to unit mean
     (``gene_weight_circle.m``)."""
     return _radial_weight(
@@ -243,7 +255,7 @@ def gene_weight_circle(nt, nx, ny, dtype=jnp.float64) -> Staggered:
     )
 
 
-def gene_weight_circle_inv(nt, nx, ny, dtype=jnp.float64) -> Staggered:
+def gene_weight_circle_inv(nt, nx, ny, dtype=None) -> Staggered:
     """Inverse radial weight (``gene_weight_circleInv.m``)."""
     return _radial_weight(
         nx, ny, nt,

@@ -78,19 +78,45 @@ def _is_sgs(method: str) -> bool:
 # kernels/driver objects are memoized across solve_dot calls. Keyed by every
 # compile-relevant static; runtime-only options (sigma, time_limit) are
 # refreshed on each hit.
+import hashlib as _hashlib
+import weakref as _weakref
 from collections import OrderedDict as _OrderedDict
 
 _SOLVER_CACHE: "_OrderedDict[tuple, object]" = _OrderedDict()
 _SOLVER_CACHE_MAX = 10
 
+# content digests of weight arrays, memoized per live array object. A
+# content key (not id()) is required for correctness: weights are baked
+# into the compiled kernels, and an id() key can serve a stale kernel when
+# a collected array's address is reused by a different weight. The weak
+# keying just avoids re-hashing the same live array on every level.
+_WEIGHT_DIGESTS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _weight_digest(w) -> tuple:
+    parts = []
+    for leaf in jax.tree.leaves(w):
+        dig = None
+        try:
+            dig = _WEIGHT_DIGESTS.get(leaf)
+        except TypeError:  # np.ndarray leaves are not weak-referenceable
+            pass
+        if dig is None:
+            dig = _hashlib.sha1(
+                np.ascontiguousarray(np.asarray(leaf)).tobytes()
+            ).hexdigest()
+            try:
+                _WEIGHT_DIGESTS[leaf] = dig
+            except TypeError:
+                pass
+        parts.append(dig)
+    return tuple(parts)
+
 
 def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
                       checkpoint_path, device_kw, use_pallas, layout,
                       mesh=None):
-    weight_key = (
-        None if lv.weight is None
-        else tuple(id(x) for x in jax.tree.leaves(lv.weight))
-    )
+    weight_key = None if lv.weight is None else _weight_digest(lv.weight)
     mesh_key = (
         None if mesh is None
         else (tuple(mesh.axis_names), tuple(mesh.shape.values()),
@@ -171,19 +197,22 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
 
 def _resolve_pallas(use_pallas, lv, dtype, layout, method) -> bool:
     """'auto' turns the Pallas kernels on where they win: large grids on a
-    real TPU in f32 — the fused step for the flat inPALM family (XLA loses
-    cross-pass fusion at 513^2: BASELINE.md), the tiled halo sweep for the
-    sGS family (3.8x per sweep at 513^2x65). Small grids keep the XLA path
-    (measured at parity or better at 129^2)."""
+    real TPU in f32 — the fused step for the flat inPALM family, weighted
+    or not (XLA loses cross-pass fusion at 513^2: BASELINE.md), the tiled
+    halo sweep for the sGS family (3.8x per sweep at 513^2x65). Small grids
+    keep the XLA path (measured at parity or better at 129^2)."""
     if use_pallas != "auto":
         return bool(use_pallas)
     import numpy as _np
 
+    # size gate on total time-staggered cells (the cone arrays are
+    # (C, nt-1, S)): 129^2x33 (0.53M) measured at parity un-fused, 129^3
+    # (2.1M) and 513^2x65 (16.8M) measured faster fused (BASELINE.md)
+    cells = (lv.geom.nt - 1) * int(_np.prod(lv.geom.space))
     return (
         (layout == "flat" or _is_sgs(method))
-        and lv.weight is None
         and jnp.dtype(dtype) == jnp.float32
-        and int(_np.prod(lv.geom.space)) >= 200_000
+        and cells >= 2_000_000
         and jax.devices()[0].platform == "tpu"
     )
 

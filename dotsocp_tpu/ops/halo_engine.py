@@ -44,7 +44,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.4.35 top-level export; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from .geometry import Geometry
 from .staggered import Staggered

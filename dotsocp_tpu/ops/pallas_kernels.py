@@ -296,7 +296,7 @@ def _specs(nt, C, TS, n_bspec, d):
 
 def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
                          dtype=jnp.float32, ts: int = 512,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None, weight=None):
     """Build the three fused kernels (z-step, q-step+alpha, beta-step) for
     the flat layout. Returns a dict of callables operating on flat arrays:
 
@@ -306,12 +306,18 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
 
     ``strides``/``masks`` come from the OpsFlat engine; scalars are traced.
     Mirrors ops/engine.py OpsFlat.{bfd, bfd_T, grad} and ops/cone.proj_soc
-    exactly (same operation order, float32)."""
+    exactly (same operation order, float32).
+
+    ``weight`` (internal flat Staggered, ghost slots 1.0) switches the
+    q-step to the weighted formulas ``solver_wsocp_inPALM.m:198-222``:
+    q = (w*(A phi + alpha) + BF^T(z+beta)) / diag, alpha += tau*(A phi - w*q).
+    The weight only enters kernel B — the z/beta kernels act on q directly."""
     if not HAVE_PALLAS:
         return None
     d = geom.ndim_space
     if d not in (1, 2):
         return None
+    weighted = weight is not None
     nt = geom.nt
     C = 2 + 4 * d
     S = int(np.prod(geom.space))
@@ -381,6 +387,9 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         dg0_ref = rest[i]; i += 1
         dgb_refs = rest[i:i + d]; i += d
         mask_refs = rest[i:i + d]; i += d
+        if weighted:
+            w0_ref = rest[i]; i += 1
+            wb_refs = rest[i:i + d]; i += d
         out_q0, out_a0 = rest[i], rest[i + 1]
         out_b = rest[i + 2:i + 2 + d]
         out_ab = rest[i + 2 + d:i + 2 + 2 * d]
@@ -394,12 +403,17 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         def xcol(c):
             return z_ref[c] + beta_ref[c]
 
-        # q0 block
+        # q0 block: weighted q = (w*(tmp+alpha) + q2)/diag, alpha += tau*(tmp - w*q)
         tmp_q0 = D * ((phi[1:] - phi[:-1]) / ht)
         q2_q0 = sbf * (xcol(C - 1) - xcol(0))
-        q0n = (tmp_q0 + a0_ref[:] + q2_q0) * dg0_ref[:]
+        if weighted:
+            w0 = w0_ref[:]
+            q0n = (w0 * (tmp_q0 + a0_ref[:]) + q2_q0) * dg0_ref[:]
+            out_a0[:] = a0_ref[:] + tau_v * (tmp_q0 - w0 * q0n)
+        else:
+            q0n = (tmp_q0 + a0_ref[:] + q2_q0) * dg0_ref[:]
+            out_a0[:] = a0_ref[:] + tau_v * (tmp_q0 - q0n)
         out_q0[:] = q0n
-        out_a0[:] = a0_ref[:] + tau_v * (tmp_q0 - q0n)
 
         zpad = jnp.zeros((1, phi.shape[-1]), phi.dtype)
         for a in range(d):
@@ -412,9 +426,15 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             acc = (jnp.concatenate([lo_sum, zpad], axis=0)
                    + jnp.concatenate([zpad, hi_sum], axis=0))
             q2_b = (s * acc) * m
-            bn = (tmp_b + ab_refs[a][:] + q2_b) * dgb_refs[a][:]
-            out_b[a][:] = bn
-            out_ab[a][:] = ab_refs[a][:] + tau_v * (tmp_b - bn)
+            if weighted:
+                wb = wb_refs[a][:]
+                bn = (wb * (tmp_b + ab_refs[a][:]) + q2_b) * dgb_refs[a][:]
+                out_b[a][:] = bn
+                out_ab[a][:] = ab_refs[a][:] + tau_v * (tmp_b - wb * bn)
+            else:
+                bn = (tmp_b + ab_refs[a][:] + q2_b) * dgb_refs[a][:]
+                out_b[a][:] = bn
+                out_ab[a][:] = ab_refs[a][:] + tau_v * (tmp_b - bn)
 
     def q_step(phi, z, beta, a0, abs_, dg0, dgbs, D, sbf, tau_v):
         sc = jnp.zeros((1, 8), jnp.float32)
@@ -427,6 +447,8 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             zbs.append(_flat_sbwd(z[c0] + beta[c0], strides[a], S))
             zbs.append(_flat_sbwd(z[c0 + 2] + beta[c0 + 2], strides[a], S))
         masks2d = [m.reshape(1, S) for m in masks]
+        w_args = ([weight.q0] + list(weight.bs)) if weighted else []
+        w_specs = ([cell] + [node] * d) if weighted else []
         out_shape = (
             [jax.ShapeDtypeStruct((nt - 1, S), dtype),
              jax.ShapeDtypeStruct((nt - 1, S), dtype)]
@@ -438,10 +460,11 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             out_shape=out_shape,
             in_specs=([scal, node] + [node] * d + [cone, cone]
                       + [cell] * (2 * d) + [cell] + [node] * d
-                      + [cell] + [node] * d + [mask_spec] * d),
+                      + [cell] + [node] * d + [mask_spec] * d + w_specs),
             out_specs=[cell, cell] + [node] * (2 * d),
             interpret=interpret,
-        )(sc, phi, *phis, z, beta, *zbs, a0, *abs_, dg0, *dgbs, *masks2d)
+        )(sc, phi, *phis, z, beta, *zbs, a0, *abs_, dg0, *dgbs, *masks2d,
+          *w_args)
         q0n, a0n = outs[0], outs[1]
         bns = outs[2:2 + d]
         abns = outs[2 + d:]

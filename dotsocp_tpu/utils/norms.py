@@ -1,4 +1,10 @@
-"""Grid-scaled norms and integrals (``normL2.m``, ``FnormL2.m``, ``integralL2.m``)."""
+"""Grid-scaled norms and integrals (``normL2.m``, ``FnormL2.m``, ``integralL2.m``).
+
+Real dtypes only: ``norm_l2``/``sdot`` use sum(x*x)/sum(x*y) instead of
+vdot/linalg.norm (which ravel and force all-gathers under sharding), so they
+drop the conjugation/|x|^2 semantics a complex caller would need. Every
+solver field here is real; complex inputs would return wrong values.
+"""
 from __future__ import annotations
 
 import jax

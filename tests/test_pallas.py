@@ -114,6 +114,48 @@ def test_fused_flat_step_matches_jnp(ndim):
             )
 
 
+def test_fused_flat_step_weighted_matches_jnp():
+    """Weighted q-step kernel (w*(A phi + alpha) + BF^T x) / diag must track
+    the jnp weighted flat path (``solver_wsocp_inPALM.m:198-222``)."""
+    from dotsocp_tpu.algorithms.core import LevelConfig
+    from dotsocp_tpu.algorithms.variants import InPALMKernels
+    from dotsocp_tpu.models import wdot2d as W
+    from dotsocp_tpu.multilevel.level import initial_scaling, initialize
+
+    n, nt = 17, 7
+    rho0, rho1 = W.get_example_w2d("example1", n, n)
+    barrier = W.barrier_circle_pillar()
+    weight = W.get_weight_by_barrier(n, n, nt, barrier)
+    rho0, rho1, _ = W.ensure_barrier_validity(rho0, rho1, barrier)
+    lv = initialize(rho0, rho1, nt, dtype=jnp.float32, weight=weight)
+    initial_scaling(lv, scaling=True)
+
+    def mk(up):
+        cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=1.9,
+                          weighted=True, dtype=jnp.float32, layout="flat",
+                          use_pallas=up)
+        return InPALMKernels(cfg, lv.weight)
+
+    k0, k1 = mk(False), mk(True)
+    assert k1._fused is not None
+    s0 = k0.prep(lv.as_dict(), sigma=1.0)
+    s1 = k1.prep(lv.as_dict(), sigma=1.0)
+    for _ in range(5):
+        s0 = k0.run_one(s0)
+        s1 = k1.run_one(s1)
+    for name in ("phi", "z", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)), np.asarray(getattr(s0, name)),
+            rtol=2e-5, atol=2e-6,
+        )
+    for name in ("q", "alpha"):
+        for x, y in zip(jax.tree.leaves(getattr(s0, name)),
+                        jax.tree.leaves(getattr(s1, name))):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=2e-5, atol=2e-6
+            )
+
+
 def test_fused_flat_step_kkt_consistent():
     """KKT residuals computed on the fused-step iterate must agree with the
     jnp-step iterate (the stopping rule sees the same numbers)."""

@@ -34,6 +34,32 @@ def test_weighted_two_level_host_device_parity(problem):
     assert results["host"] == results["device"]
 
 
+def test_solver_cache_weight_key_is_content_based(problem):
+    """Two separately-built identical weights must produce the SAME cache
+    key (an id()-keyed cache would miss), and a different-valued weight a
+    DIFFERENT key (an id()-keyed cache could serve a stale kernel after the
+    first weight's addresses are recycled)."""
+    import jax.numpy as jnp
+
+    from dotsocp_tpu.algorithms.driver import SolveOptions
+    from dotsocp_tpu.multilevel.level import initialize
+    from dotsocp_tpu.multilevel.solve import _solver_cache_key
+
+    rho0, rho1, nt, weight, barrier, mask = problem
+    nx = ny = rho0.shape[0]
+    w_same = W.get_weight_by_barrier(nx, ny, nt, barrier)
+    w_diff = W.get_weight_by_barrier(nx, ny, nt, None)
+    o = SolveOptions(tol=1e-3, maxit=10, sigma=1.0, tau=1.9)
+
+    def key(w):
+        lv = initialize(rho0, rho1, nt, dtype=jnp.float32, weight=w)
+        return _solver_cache_key("inPALM", lv, o, jnp.float32, "device",
+                                 None, None, False, "flat")
+
+    assert key(weight) == key(w_same)
+    assert key(weight) != key(w_diff)
+
+
 def test_weighted_multilevel_keeps_mass_out_of_barrier(problem):
     rho0, rho1, nt, weight, barrier, mask = problem
     out, _, _ = solve_dot(
