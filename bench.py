@@ -1,39 +1,56 @@
-"""Benchmark: the reference's headline 2D demo config on one TPU chip.
+"""Benchmark: the reference's headline configs on one TPU chip.
 
-Config mirrors ``demo_dot2d.m:10-17,55-60``: nt=33, nx=ny=129, tol=1e-4,
-3 levels, inPALM, DOTmark-4stitch densities (procedural tiles when the
-DOTmark assets are absent — the source is stamped into the result, since
-the fallback is a different problem with different iteration counts).
-f32 on TPU (validated against the f64 CPU path in tests).
+Three metrics, each best-of-N with every pass recorded (N and the raw
+times land in the JSON, so warm-cache variance is visible in the artifact):
 
-Always runs the device-resident driver (the production path). On a cold
-compilation cache the three level executables are compiled concurrently
-up front (opts["prewarm"]); D/E/tol/sigma are traced into the solver
-state, so the compiled chunks are shape-only and every later run —
-including repeat passes and other problem instances — reuses them via the
-persistent cache.
+1. headline — ``demo_dot2d.m:10-17,55-60``: nt=33, nx=ny=129, tol=1e-4,
+   3 levels, inPALM, DOTmark-4stitch densities (procedural tiles when the
+   DOTmark assets are absent — the source is stamped into the result).
+2. wdot2d  — ``demo_wdot2d.m:10-17,67``: 129^3, tol=1e-3, 3 levels,
+   love-heart barrier (analytic), weighted inPALM with the fused Pallas
+   q-step kernel.
+3. scale   — the BASELINE.json north-star class (512x512x64): 513x513x65,
+   tol=1e-4, 3 levels, inPALM, fused Pallas flat layout, device driver.
+   Disable with DOTSOCP_BENCH_SCALE=0 (wdot: DOTSOCP_BENCH_WDOT=0).
+
+All metrics run f32 on the device-resident driver (the production path).
+On a cold compilation cache the level executables compile concurrently up
+front (opts["prewarm"]); D/E/tol/sigma are traced into the solver state,
+so the compiled chunks are shape-only and reruns hit the persistent cache.
 
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": x, ...}
 
 vs_baseline compares against the single-host CPU float64 reference-equivalent
 run recorded in BASELINE.md (this repo's stand-in for the unpublished MATLAB
-numbers; same algorithm, same tolerance, same iteration counts). A secondary
-weighted-2D metric (``demo_wdot2d.m:10-17`` config) is attached as extra
-fields unless DOTSOCP_BENCH_WDOT=0.
+numbers; same algorithm, same tolerance, same iteration counts).
 """
 import json
 import os
 import sys
 import time
 
-# Our own CPU f64 3-level run of this exact config (see BASELINE.md,
+# Our own CPU f64 3-level run of the headline config (see BASELINE.md,
 # "measured stand-in baseline") — reproduce with: python bench.py --cpu
 BASELINE_CPU_SECONDS = 52.7
 
 NT, NX, NY = 33, 129, 129
 TOL = 1e-4
 LEVELS = 3
+SCALE_N, SCALE_NT = 513, 65
+
+
+def _best_of(fn, repeats):
+    """Run ``fn(rep)`` ``repeats`` times; return (best_time, info_of_best,
+    all_times). Pass 0 warms the jit caches."""
+    best, info, times = None, None, []
+    for rep in range(repeats):
+        out = fn(rep)
+        t = out["total_time"]
+        times.append(round(t, 3))
+        if best is None or t < best:
+            best, info = t, out
+    return best, info, times
 
 
 def run(dtype, repeats=2, verbose=False, driver="device"):
@@ -44,22 +61,20 @@ def run(dtype, repeats=2, verbose=False, driver="device"):
     from dotsocp_tpu.multilevel.solve import solve_dot
 
     rho0, rho1 = get_example_2d("DOTmark_4stitch", NX, NY)
-    best = None
-    info = None
-    for rep in range(repeats):  # first pass warms the jit caches
+
+    def one(rep):
         out, hml, h = solve_dot(
             rho0, rho1, NT, LEVELS,
             {"tol": TOL, "maxit": 3000, "driver": driver,
              "prewarm": rep == 0 and driver != "host"},
             "inPALM", dtype=dtype, verbose=verbose,
         )
-        t = out["total_time"]
-        if best is None or t < best:
-            best, info = t, out
-    return best, info
+        return out
+
+    return _best_of(one, repeats)
 
 
-def run_wdot(dtype, time_limit=900.0):
+def run_wdot(dtype, time_limit=900.0, repeats=2):
     """Secondary metric: the weighted headline (129^2 x 129, tol 1e-3,
     3 levels, inPALM, love-heart barrier — ``demo_wdot2d.m:10-17,67``)."""
     from dotsocp_tpu.models.wdot2d import (
@@ -75,9 +90,8 @@ def run_wdot(dtype, time_limit=900.0):
     barrier = barrier_love_heart()
     weight = get_weight_by_barrier(n, n, n, barrier)
     rho0, rho1, _ = ensure_barrier_validity(rho0, rho1, barrier)
-    best = None
-    info = None
-    for rep in range(2):
+
+    def one(rep):
         out, _, _ = solve_dot(
             rho0, rho1, n, 3,
             {"tol": 1e-3, "driver": "device", "time_limit": time_limit,
@@ -85,10 +99,33 @@ def run_wdot(dtype, time_limit=900.0):
             "inPALM", weight=weight, barrier=barrier, dtype=dtype,
             verbose=False,
         )
-        t = out["total_time"]
-        if best is None or t < best:
-            best, info = t, out
-    return best, info
+        return out
+
+    return _best_of(one, repeats)
+
+
+def run_scale(dtype, time_limit=1200.0, repeats=2):
+    """The BASELINE 512x512x64-class config as a captured end-to-end
+    metric: 513x513x65, tol 1e-4, 3 levels (129^2x17 -> 257^2x33 ->
+    513^2x65), inPALM on the device driver with the fused Pallas step
+    (auto-enabled at this size). Reference anchor: the hot loop of
+    ``solver_socp_inPALM.m:192-216`` at BASELINE.json scale."""
+    from dotsocp_tpu.models.examples import get_example_2d
+    from dotsocp_tpu.multilevel.solve import solve_dot
+
+    rho0, rho1 = get_example_2d("DOTmark_4stitch", SCALE_N, SCALE_N)
+
+    def one(rep):
+        out, _, h = solve_dot(
+            rho0, rho1, SCALE_NT, 3,
+            {"tol": TOL, "maxit": 3000, "driver": "device",
+             "time_limit": time_limit, "prewarm": rep == 0},
+            "inPALM", dtype=dtype, verbose=False,
+        )
+        out["final_kkt"] = h["kkt"][-1]
+        return out
+
+    return _best_of(one, repeats)
 
 
 def main():
@@ -101,17 +138,19 @@ def main():
         jax.config.update("jax_enable_x64", True)
         import jax.numpy as jnp
 
-        t, out = run(jnp.float64, repeats=1, verbose=True, driver="host")
+        t, out, _ = run(jnp.float64, repeats=1, verbose=True, driver="host")
         print(f"CPU f64 3-level solve: {t:.1f}s")
         return
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from dotsocp_tpu.models.examples import density_source
+    from dotsocp_tpu.models.wdot2d import wdot_provenance
 
     driver = os.environ.get("DOTSOCP_BENCH_DRIVER", "device")
-    t, out = run(jnp.float32, driver=driver)
+    t, out, times = run(jnp.float32, driver=driver)
     iters = sum(l["iters"] for l in out["levels"])
     result = {
         "metric": "dot2d_dotmark_129x129x33_tol1e-4_3level_inpalm",
@@ -121,17 +160,37 @@ def main():
         "iters": iters,
         "mass_ok": bool(out["mass_ok"]),
         "driver": driver,
+        "repeats": len(times),
+        "times": times,
         "density_source": density_source("DOTmark_4stitch"),
         "device": str(jax.devices()[0]),
     }
     if os.environ.get("DOTSOCP_BENCH_WDOT", "1") != "0":
         try:
-            tw, outw = run_wdot(jnp.float32)
+            tw, outw, tws = run_wdot(jnp.float32)
             result["wdot2d_129x129x129_tol1e-3_s"] = round(tw, 3)
             result["wdot2d_iters"] = sum(l["iters"] for l in outw["levels"])
             result["wdot2d_mass_ok"] = bool(outw["mass_ok"])
+            result["wdot2d_times"] = tws
+            result["wdot2d_source"] = wdot_provenance("love-heart")
         except Exception as e:  # secondary metric must not sink the bench
             result["wdot2d_error"] = f"{type(e).__name__}: {e}"
+    if os.environ.get("DOTSOCP_BENCH_SCALE", "1") != "0":
+        try:
+            ts, outs, tss = run_scale(jnp.float32)
+            fin = outs["levels"][-1]
+            result["scale_513x513x65_tol1e-4_s"] = round(ts, 3)
+            result["scale_513_iters"] = sum(l["iters"] for l in outs["levels"])
+            result["scale_513_ms_per_iter"] = round(
+                1e3 * fin["time"] / max(fin["iters"], 1), 2
+            )
+            result["scale_513_mass_ok"] = bool(outs["mass_ok"])
+            result["scale_513_final_kkt_max"] = float(
+                np.max(np.asarray(outs["final_kkt"])[[0, 2, 5, 6]])
+            )
+            result["scale_513_times"] = tss
+        except Exception as e:
+            result["scale_513_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

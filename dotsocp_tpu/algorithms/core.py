@@ -388,9 +388,7 @@ class Kernels:
         norm_rho_fq = norm_l2(rho_fq, h)
 
         # interpolate rho to time nodes (zero-padded ends), then to faces
-        zslab = jnp.zeros((1,) + rho_t.shape[1:], rho_t.dtype)
-        padded = jnp.concatenate([zslab, rho_t, zslab], axis=0)  # (nt+1, ...)
-        rho_nodes = 0.5 * (padded[:-1] + padded[1:])  # (nt, ...)
+        rho_nodes = self.ops.t_node_interp(rho_t)  # (nt, ...)
 
         m_sq = jnp.asarray(0.0, rho_t.dtype)
         rb_sq = jnp.asarray(0.0, rho_t.dtype)

@@ -344,8 +344,13 @@ class AccSgsADMMKernels(AccADMMKernels):
 
     def __init__(self, cfg: LevelConfig, weight=None, restart: int = 100,
                  rho: float = 2.0):
-        cfg = dataclasses.replace(cfg, layout="3d")  # sGS sweeps shaped phi
-        if cfg.use_pallas:
+        halo = cfg.layout == "halo" and cfg.mesh is not None
+        if not halo:
+            cfg = dataclasses.replace(cfg, layout="3d")  # sweeps shaped phi
+        if halo:
+            self.sgs_op = None  # built from the halo ops below
+            self._sgs_static = False
+        elif cfg.use_pallas:
             from ..ops.pallas_kernels import make_sgs_pallas
 
             # pallas sweep bakes D^2 into the kernel (static per level)
@@ -357,6 +362,10 @@ class AccSgsADMMKernels(AccADMMKernels):
             self._sgs_static = False
         self.last_aux = {}
         super().__init__(cfg, weight, restart=restart, rho=rho)
+        if halo:
+            from ..ops.halo_engine import HaloSGS
+
+            self.sgs_op = HaloSGS(self.ops, D=1.0)
 
     def _sgs_d2(self, s):
         return None if self._sgs_static else s.D * s.D
@@ -457,8 +466,9 @@ class AccSgsADMMKernels(AccADMMKernels):
 
     def prep(self, var, sigma) -> AccState:
         e = super().prep(var, sigma)
-        # de-mean phi once (``solver_socp_accsGSADMM.m:165``)
-        s = e.s._replace(phi=e.s.phi - jnp.mean(e.s.phi))
+        # de-mean phi once (``solver_socp_accsGSADMM.m:165``); ops hook
+        # keeps halo-layout pads at exact zero
+        s = e.s._replace(phi=self.ops.demean(e.s.phi))
         cur = _iterate_tuple(s)
         return AccState(s=s, old=cur, anchor=cur, k=e.k)
 
@@ -472,8 +482,13 @@ class SgsKernels(Kernels):
     sgs_its = 1
 
     def __init__(self, cfg: LevelConfig, weight=None):
-        cfg = dataclasses.replace(cfg, layout="3d")  # sGS sweeps shaped phi
-        if cfg.use_pallas:
+        halo = cfg.layout == "halo" and cfg.mesh is not None
+        if not halo:
+            cfg = dataclasses.replace(cfg, layout="3d")  # sweeps shaped phi
+        if halo:
+            self.sgs = None  # built from the halo ops after super().__init__
+            self._sgs_static = False
+        elif cfg.use_pallas:
             from ..ops.pallas_kernels import make_sgs_pallas
 
             # pallas sweep bakes D^2 into the kernel (static per level)
@@ -485,6 +500,13 @@ class SgsKernels(Kernels):
             self._sgs_static = False
         self.last_aux = {}
         super().__init__(cfg, weight)
+        if halo:
+            from ..ops.halo_engine import HaloSGS
+
+            # halo red-black sweep: one shard_map, one-slab ppermutes per
+            # half-sweep neighbour pull (the distributed phi-step the
+            # module docstring of ops/sgs.py promises)
+            self.sgs = HaloSGS(self.ops, D=1.0)
 
     def _sgs_d2(self, s):
         return None if self._sgs_static else s.D * s.D
@@ -615,9 +637,10 @@ class SgsKernels(Kernels):
 
     def prep(self, var, sigma):
         s = super().prep(var, sigma)
-        # de-mean phi once (``solver_socp_sGSinPALM.m:144``)
+        # de-mean phi once (``solver_socp_sGSinPALM.m:144``); the ops hook
+        # keeps halo-layout pads at exact zero
         if not hasattr(self, "_demean_jit"):
             self._demean_jit = jax.jit(
-                lambda s: s._replace(phi=s.phi - jnp.mean(s.phi))
+                lambda s: s._replace(phi=self.ops.demean(s.phi))
             )
         return self._demean_jit(s)

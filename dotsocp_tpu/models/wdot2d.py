@@ -187,6 +187,19 @@ def barrier_example6(resources: Optional[str] = None) -> Callable:
     return _maze_procedural()
 
 
+def wdot_provenance(problem: str = "love-heart") -> str:
+    """Provenance of the wdot2d densities/barrier for bench stamping (the
+    analogue of ``examples.density_source``): the image-based barriers
+    (maze14, example6) report the asset dir or 'procedural'; every other
+    problem (incl. the love-heart headline) is fully analytic."""
+    if problem in ("maze14", "example6"):
+        for cand in (os.environ.get("DOTSOCP_RESOURCES"), _REFERENCE_RESOURCES):
+            if cand and os.path.isdir(cand):
+                return f"assets:{cand}"
+        return "procedural"
+    return "analytic"
+
+
 # ---------------------------------------------------------------------------
 # weights on the staggered grid
 # ---------------------------------------------------------------------------

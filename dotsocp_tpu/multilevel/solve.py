@@ -149,21 +149,31 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     """driver: 'device' runs the whole level loop inside one jitted
     while_loop (one host round-trip per ~600 iterations — the TPU-native
     fast path); 'host' uses the readable host-orchestrated driver (needed
-    for sGS variants and step-by-step checking). 'auto' picks device where
-    supported. layout 'auto' packs the spatial axes flat (ops/engine.py);
-    the sGS family pins itself back to shaped arrays, and a spatial mesh
-    forces shaped arrays (the y/x sharding is annotated on the 2-D spatial
-    axes)."""
+    for step-by-step checking). 'auto' picks device where supported.
+    layout 'auto' packs the spatial axes flat (ops/engine.py) on one chip;
+    under a mesh it selects the halo engine (padded shard_map stencils +
+    red-black halo sweep, ops/halo_engine.py — 25x less collective traffic
+    than GSPMD on the odd grids); pass layout='3d' for the GSPMD fallback."""
     if mesh is not None:
-        # "halo": padded shard_map stencils (ops/halo_engine.py) — opt-in,
-        # non-sGS only (the sGS sweep wants the unpadded shaped field);
-        # default "3d" shaped arrays with GSPMD constraint sharding.
-        layout = "halo" if (layout == "halo" and not _is_sgs(method)) else "3d"
+        if layout in ("auto", "halo"):
+            if lv.geom.ndim_space in (1, 2):
+                layout = "halo"
+            else:
+                if layout == "halo":
+                    import warnings
+
+                    warnings.warn(
+                        "layout='halo' supports 1D/2D grids only; "
+                        "falling back to the GSPMD '3d' layout"
+                    )
+                layout = "3d"
+        else:
+            layout = "3d"
     elif layout == "halo":
         layout = "flat"  # halo without a mesh is meaningless
     if layout == "auto":
         layout = "flat"
-    use_pallas = _resolve_pallas(use_pallas, lv, dtype, layout, method)
+    use_pallas = _resolve_pallas(use_pallas, lv, dtype, layout, method, mesh)
     if reuse:
         key = _solver_cache_key(method, lv, o, dtype, driver,
                                 checkpoint_path, device_kw, use_pallas,
@@ -195,7 +205,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     return solver
 
 
-def _resolve_pallas(use_pallas, lv, dtype, layout, method) -> bool:
+def _resolve_pallas(use_pallas, lv, dtype, layout, method, mesh=None) -> bool:
     """'auto' turns the Pallas kernels on where they win: large grids on a
     real TPU in f32 — the fused step for the flat inPALM family, weighted
     or not (XLA loses cross-pass fusion at 513^2: BASELINE.md), the tiled
@@ -210,7 +220,8 @@ def _resolve_pallas(use_pallas, lv, dtype, layout, method) -> bool:
     # (2.1M) and 513^2x65 (16.8M) measured faster fused (BASELINE.md)
     cells = (lv.geom.nt - 1) * int(_np.prod(lv.geom.space))
     return (
-        (layout == "flat" or _is_sgs(method))
+        mesh is None  # under a mesh the halo engine owns the hot ops
+        and (layout == "flat" or _is_sgs(method))
         and jnp.dtype(dtype) == jnp.float32
         and cells >= 2_000_000
         and jax.devices()[0].platform == "tpu"

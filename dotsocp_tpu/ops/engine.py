@@ -49,6 +49,14 @@ from .poisson import make_dct_poisson
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
 
+def _t_node_interp_concat(x):
+    """Time-staggered -> time-node interpolation with zero-padded ends
+    (``compute_kkt_dot_complement.m`` movmean): (nt-1, ...) -> (nt, ...)."""
+    zslab = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    padded = jnp.concatenate([zslab, x, zslab], axis=0)
+    return 0.5 * (padded[:-1] + padded[1:])
+
+
 class Ops3D:
     """Shaped-array engine: thin wrapper over the original operators."""
 
@@ -84,6 +92,12 @@ class Ops3D:
         lo = jax.lax.slice_in_dim(x, 0, n_a - 1, axis=ax)
         hi = jax.lax.slice_in_dim(x, 1, n_a, axis=ax)
         return 0.5 * (lo + hi)
+
+    def t_node_interp(self, x):
+        return _t_node_interp_concat(x)
+
+    def demean(self, phi):
+        return phi - jnp.mean(phi)
 
     # -- layout conversions (identity) -------------------------------------
     def stag_to_internal(self, st: Staggered) -> Staggered:
@@ -237,6 +251,12 @@ class OpsFlat:
         garbage from the next row; every consumer multiplies it by a
         ghost-zero face array."""
         return 0.5 * (x + self._sbwd(x, a))
+
+    def t_node_interp(self, x):
+        return _t_node_interp_concat(x)
+
+    def demean(self, phi):
+        return phi - jnp.mean(phi)
 
     # -- layout conversions --------------------------------------------------
     def stag_to_internal(self, st: Staggered) -> Staggered:

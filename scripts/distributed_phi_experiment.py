@@ -29,34 +29,7 @@ from dotsocp_tpu.multilevel.level import initial_scaling, initialize
 from dotsocp_tpu.models.examples import get_example_2d
 from dotsocp_tpu.parallel.sharding import constrain, make_mesh, state_shardings
 
-COLLECTIVES = ("all-gather", "all-reduce", "all-to-all", "collective-permute",
-               "reduce-scatter")
-
-
-def _bytes_of(shape_str: str) -> int:
-    m = re.match(r"(f32|f64|bf16|s32|pred|u32)\[([0-9,]*)\]", shape_str)
-    if not m:
-        return 0
-    itemsize = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "bf16": 2, "pred": 1}[m.group(1)]
-    dims = m.group(2)
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * itemsize
-
-
-def collective_stats(hlo: str):
-    stats = {}
-    for line in hlo.splitlines():
-        for coll in COLLECTIVES:
-            # e.g.  %ag = f32[17,65,65] all-gather(...)
-            m = re.search(rf"= ?(\S+\[[0-9,]*\][^ ]*) {coll}\(", line)
-            if m:
-                b = _bytes_of(m.group(1))
-                c, tot = stats.get(coll, (0, 0))
-                stats[coll] = (c + 1, tot + b)
-    return stats
+from dotsocp_tpu.utils.hlo import collective_stats  # shared parser
 
 
 def report(name, fn, arg):
