@@ -1,6 +1,7 @@
-"""Demo: batched fleet solve — many independent 2D transport problems
-advanced in lockstep by one device loop (a capability the reference lacks;
-combine with a device mesh for SPMD fleets).
+"""Demo: fleet solve — many independent 2D transport problems through
+``solve_fleet`` (a capability the reference lacks). ``--mode auto`` (the
+default) picks sequential / lockstep / mesh-sharded from the problem size
+and device count (the BASELINE.md fleet decision table).
 """
 import argparse
 import os
@@ -19,8 +20,9 @@ def main():
     ap.add_argument("--levels", type=int, default=2)
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--mesh", action="store_true",
-                    help="shard the fleet over all visible devices")
+    ap.add_argument("--mode", default="auto",
+                    choices=["auto", "sequential", "lockstep", "sharded"],
+                    help="fleet execution mode (auto = decision table)")
     args = ap.parse_args()
 
     import jax
@@ -30,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from dotsocp_tpu.models.examples import get_example_2d
-    from dotsocp_tpu.parallel.batch import solve_batch
+    from dotsocp_tpu.parallel.batch import solve_fleet
 
     rng = np.random.default_rng(0)
     r0s, r1s = [], []
@@ -40,20 +42,15 @@ def main():
         r0s.append(np.roll(base0, shift, axis=1))
         r1s.append(np.roll(base1, -shift, axis=0))
 
-    mesh = None
-    if args.mesh:
-        from dotsocp_tpu.parallel.sharding import make_mesh
-
-        mesh = make_mesh()
-        print("mesh:", dict(mesh.shape))
-
-    out = solve_batch(
+    out = solve_fleet(
         np.stack(r0s), np.stack(r1s), args.nt,
         {"tol": args.tol, "maxit": 3000},
-        level_n=args.levels, dtype=jnp.float32, mesh=mesh,
+        level_n=args.levels, dtype=jnp.float32, mode=args.mode,
     )
-    print("per-instance max KKT:", out["kkt"][:, [0, 2, 5, 6]].max(axis=1))
-    print("converged:", out["done"], "at lockstep iteration", out["done_it"])
+    print("mode:", out["mode"])
+    print("per-instance max KKT:", np.asarray(out["kkt"])[:, [0, 2, 5, 6]].max(axis=1))
+    print("converged:", out["done"], "at final-level iteration", out["done_it"])
+    print(f"fleet time: {out['time']:.2f}s ({args.batch / out['time']:.2f} inst/s)")
 
 
 if __name__ == "__main__":

@@ -359,3 +359,103 @@ def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
         "iters": total_iters,
         "time": total_time,
     }
+
+
+# one instance of the headline config (129^2 x 33, ~0.5M time-staggered
+# cells) already saturates a v5e: lockstep loses ~2x to sequential there
+# (BASELINE.md fleet table). Below this the batched step amortizes.
+_SATURATION_CELLS = 100_000
+
+
+def pick_fleet_mode(B: int, space, nt: int, n_devices: int) -> str:
+    """The BASELINE.md fleet decision table as code:
+
+    - 2+ devices: shard the batch axis over the mesh ('sharded') — fleet
+      wall time is the slowest instance, per-device work is ~one instance;
+    - one device, instance saturates the chip: 'sequential' via the cached
+      device driver (solver executables are shape-only, so instance 2+
+      pays zero compile);
+    - one device, sub-saturation instances: 'lockstep' (the batched step
+      amortizes dispatch + lane padding across the fleet).
+    """
+    if n_devices >= 2 and math.gcd(B, n_devices) >= 2:
+        # the lockstep batch axis must divide the mesh (odd leftovers
+        # would force uneven boundary shardings)
+        return "sharded"
+    cells = (nt - 1) * int(np.prod(space))
+    return "sequential" if cells >= _SATURATION_CELLS else "lockstep"
+
+
+def solve_fleet(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
+                method: str = "inPALM", dtype=jnp.float32,
+                level_n: int = 1, mode: str = "auto", mesh=None,
+                verbose: bool = True):
+    """Solve a fleet of B independent same-shaped DOT instances, picking
+    the execution mode automatically (``mode='auto'``) from problem size
+    and device count — the ergonomic front door to the batch axis.
+
+    Modes: 'sequential' (cached single-instance device driver, one chip,
+    saturating sizes), 'lockstep' (one batched device loop,
+    :func:`solve_batch`), 'sharded' (lockstep + batch axis sharded over a
+    device mesh). Returns the :func:`solve_batch` result dict plus
+    ``mode``; sequential results carry per-instance iteration counts in
+    ``done_it`` and the final-level KKT rows in ``kkt``.
+    """
+    rho0s = np.asarray(rho0s)
+    B = rho0s.shape[0]
+    space = rho0s.shape[1:]
+    if mode == "auto":
+        n_dev = len(mesh.devices.flat) if mesh is not None else len(jax.devices())
+        mode = pick_fleet_mode(B, space, nt, n_dev)
+    if verbose:
+        print(f"solve_fleet: B={B}, mode={mode}")
+    if mode == "sharded":
+        if mesh is None:
+            from .sharding import make_mesh
+
+            # mesh size must divide B: use the largest common factor
+            n_dev = math.gcd(B, len(jax.devices()))
+            mesh = make_mesh(n_dev, axis_names=("batch",))
+        return dict(
+            solve_batch(rho0s, rho1s, nt, opts, method, dtype=dtype,
+                        mesh=mesh, level_n=level_n, verbose=verbose),
+            mode="sharded",
+        )
+    if mode == "lockstep":
+        return dict(
+            solve_batch(rho0s, rho1s, nt, opts, method, dtype=dtype,
+                        level_n=level_n, verbose=verbose),
+            mode="lockstep",
+        )
+    if mode != "sequential":
+        raise ValueError(f"unknown fleet mode {mode!r}")
+    from ..multilevel.solve import solve_dot
+
+    opts = dict(opts or {})
+    rhos, kkts, done_it, done = [], [], [], []
+    total_time = 0.0
+    total_iters = 0
+    for b in range(B):
+        o, _, h = solve_dot(
+            rho0s[b], np.asarray(rho1s)[b], nt, level_n,
+            dict(opts, driver=opts.get("driver", "device"),
+                 prewarm=b == 0 and bool(opts.get("prewarm", True))),
+            method, dtype=dtype, verbose=False,
+        )
+        rhos.append(o["rho"])
+        k = np.asarray(h["kkt"][-1])
+        kkts.append(k)
+        tol = float(opts.get("tol", 1e-4))
+        done.append(bool(np.max(k[[0, 2, 5, 6]]) < tol))
+        done_it.append(o["levels"][-1]["iters"])
+        total_iters += sum(l["iters"] for l in o["levels"])
+        total_time += o["total_time"]
+    return {
+        "rho": jnp.stack(rhos),
+        "done": np.asarray(done),
+        "done_it": np.asarray(done_it),
+        "kkt": np.stack(kkts),
+        "iters": total_iters,
+        "time": total_time,
+        "mode": "sequential",
+    }

@@ -37,7 +37,7 @@ import numpy as np
 
 from dotsocp_tpu.utils.cache import enable_compilation_cache
 from dotsocp_tpu.models.examples import get_example_2d, _gaussian2d, _normalize
-from dotsocp_tpu.parallel.batch import solve_batch
+from dotsocp_tpu.parallel.batch import pick_fleet_mode, solve_batch, solve_fleet
 from dotsocp_tpu.multilevel.solve import solve_dot
 
 enable_compilation_cache()
@@ -95,6 +95,14 @@ def main():
         seq_t += o["total_time"]
         seq_iters.append(sum(l["iters"] for l in o["levels"]))
 
+    # the ergonomic front door: solve_fleet(mode='auto') must pick the
+    # winning mode from the decision table (>= best single mode)
+    auto_mode = pick_fleet_mode(B, (N, N), NT, len(jax.devices()))
+    t0 = time.monotonic()
+    out_auto = solve_fleet(r0, r1, NT, opts, "inPALM", dtype=jnp.float32,
+                           level_n=LEVELS, mode="auto", verbose=False)
+    auto_t = time.monotonic() - t0
+
     done_it = out["done_it"].tolist()
     result = {
         "metric": f"fleet_B{B}_dot2d_{N}x{N}x{NT}_tol{TOL:g}_{LEVELS}level",
@@ -102,11 +110,15 @@ def main():
         "instances_per_s": round(B / fleet_t, 3),
         "sequential_seconds": round(seq_t, 3),
         "speedup_vs_sequential": round(seq_t / fleet_t, 2),
+        "auto_mode": out_auto["mode"],
+        "auto_seconds": round(auto_t, 3),
+        "auto_instances_per_s": round(B / auto_t, 3),
         "all_done": bool(out["done"].all()),
         "final_level_done_iters": done_it,
         "seq_total_iters": seq_iters,
         "device": str(jax.devices()[0]),
     }
+    assert out_auto["mode"] == auto_mode
     print(json.dumps(result))
     for n_, d in zip(names, done_it):
         print(f"  {n_:18s} final-level iters {d}")

@@ -42,3 +42,42 @@ def test_batch_multilevel():
     )
     assert out["done"].all()
     assert (out["kkt"][:, [0, 2, 5, 6]].max(axis=1) < 1e-4).all()
+
+
+def test_pick_fleet_mode_decision_table():
+    from dotsocp_tpu.parallel.batch import pick_fleet_mode
+
+    # 2+ devices -> shard the batch axis
+    assert pick_fleet_mode(8, (129, 129), 33, 8) == "sharded"
+    # one device, saturating instance (the 129^2x33 headline) -> sequential
+    assert pick_fleet_mode(8, (129, 129), 33, 1) == "sequential"
+    # one device, small instances -> lockstep
+    assert pick_fleet_mode(8, (33, 33), 9, 1) == "lockstep"
+    # a single problem never shards the batch axis
+    assert pick_fleet_mode(1, (129, 129), 33, 8) == "sequential"
+
+
+def test_solve_fleet_modes_agree():
+    """sequential and lockstep fleet modes must both converge the same
+    fleet; auto must select a valid mode and return the mode it ran."""
+    from dotsocp_tpu.parallel.batch import solve_fleet
+
+    rho0, rho1 = get_example_2d("example2", 17, 17)
+    B = 3
+    r0 = np.stack([np.roll(np.asarray(rho0), s, axis=1) for s in range(B)])
+    r1 = np.stack([np.asarray(rho1)] * B)
+    opts = {"tol": 1e-3, "maxit": 1500}
+    outs = {}
+    for mode in ("sequential", "lockstep", "auto"):
+        out = solve_fleet(r0, r1, 9, opts, "inPALM", dtype=jnp.float32,
+                          mode=mode, verbose=False)
+        assert out["done"].all(), (mode, out["kkt"])
+        outs[mode] = out
+    assert outs["auto"]["mode"] in ("sequential", "lockstep", "sharded")
+    # both modes solve the same problems to the same tolerance (lockstep
+    # aligns rescales to the check cadence — a documented deviation, so
+    # the solutions agree to solver tolerance, not bitwise)
+    np.testing.assert_allclose(
+        np.asarray(outs["sequential"]["rho"]),
+        np.asarray(outs["lockstep"]["rho"]), atol=1e-1,
+    )
