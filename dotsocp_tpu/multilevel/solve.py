@@ -622,9 +622,10 @@ def solve_dot(
             "time": out["solve_time"],
             "method": solver.name,
         }
-        if opts.get("profile") and hasattr(solver.k, "poisson"):
+        if opts.get("profile"):
             # per-phase timing + roofline (the record_time equivalent,
-            # ``solver_socp_inPALM.m:339-341``); run on the level's state
+            # ``solver_socp_inPALM.m:339-341`` — covers all six algorithms,
+            # sGS sweep / Halpern phases included); run on the level's state
             from ..utils.profiling import profile_phases
 
             try:

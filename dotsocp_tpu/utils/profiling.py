@@ -41,16 +41,31 @@ def _nbytes(tree) -> int:
 
 
 def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
-    """Time each inPALM phase separately (jitted, fenced). Returns
+    """Time each algorithm phase separately (jitted, fenced). Returns
     {phase: {ms, gbps, pct_roofline}} plus a fused full-step row.
+
+    Covers all six algorithms (the reference's ``record_time`` columns
+    exist per algorithm — Step_1_1_FFT / Step_1_1_sGS etc.): the phi phase
+    is the DCT solve or, for the sGS family, the red-black sweep; acc-ADMM
+    variants add the Halpern averaging phase; the weighted family's
+    diagonal multiplies ride inside the q-step/multiplier phases.
 
     Phase byte counts are the minimal HBM traffic (each operand read once,
     each result written once) — achieved GB/s above ~60% of roofline means
     the phase is bandwidth-bound and near speed-of-light.
     """
+    from ..algorithms.variants import AccState, NesterovState
+
+    acc_state = state if isinstance(state, (AccState, NesterovState)) else None
+    if acc_state is not None:
+        state = state.s
+
     cfg = kernels.cfg
     ops = kernels.ops
     wmul = kernels._w
+    sgs = getattr(kernels, "sgs", None) or getattr(kernels, "sgs_op", None)
+    sgs = sgs if hasattr(sgs, "sweep") else None
+    sgs_d2 = (lambda s: kernels._sgs_d2(s)) if sgs is not None else None
 
     # kernels that drop the z2 carry (carry_z2=False) hold None in the
     # state slot; the standalone phase measurements want it materialized,
@@ -62,9 +77,14 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
             z2=ops.bfd(state.q, state.E / state.D, state.E / state.dScale)
         )
 
+    def _rhs(s):
+        return s.D * ops.grad_T(wmul(s.q) - s.alpha) + s.c
+
     def phi_step(s):
-        rhs = s.D * ops.grad_T(wmul(s.q) - s.alpha) + s.c
-        return kernels._poisson_solve(s, rhs)
+        return kernels._poisson_solve(s, _rhs(s))
+
+    def phi_sgs(s):
+        return sgs.sweep(s.phi, _rhs(s), 1, d2=sgs_d2(s))
 
     def z_step(s):
         return proj_soc(s.z2 - s.beta)
@@ -82,16 +102,23 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
         return alpha, beta, z2
 
     q_bytes = _nbytes(state.q)
+    phi_bytes = _nbytes(state.phi)
     phase_bytes = {
         # rhs build: read q, alpha, c; write/read rhs through the DCT
         # matmul chain (6 transforms, each read+write) + write phi
         "phi_dct_solve": _nbytes(state.q) * 2 + _nbytes(state.c) * (1 + 12 + 1),
+        # rhs build (q, alpha read; rhs write) + 3 half-sweeps over phi
+        "phi_sgs_sweep": _nbytes(state.q) * 2 + _nbytes(state.c)
+        + phi_bytes * (1 + 2 * 3),
         # read z2, beta; write z
         "cone_projection": _nbytes(state.z2) * 3,
         # read phi, z, beta, alpha, diag; write q
-        "q_step": _nbytes(state.phi) + _nbytes(state.z) * 2 + q_bytes * 3,
+        "q_step": phi_bytes + _nbytes(state.z) * 2 + q_bytes * 3,
         # read phi, q, z, alpha, beta; write alpha, beta, z2
-        "multiplier": _nbytes(state.phi) + q_bytes * 3 + _nbytes(state.z) * 4,
+        "multiplier": phi_bytes + q_bytes * 3 + _nbytes(state.z) * 4,
+        # read anchor, old, cur; write new iterate (+ anchor select)
+        "halpern_averaging": (phi_bytes + q_bytes * 2 + _nbytes(state.z) * 2)
+        * 4,
     }
 
     # each phase chained through the state inside one fori_loop so the
@@ -104,8 +131,12 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
         alpha, beta, _ = mult_step(s)
         return s._replace(alpha=alpha, beta=beta)
 
-    chained = {
-        "phi_dct_solve": lambda s: s._replace(c=phi_step(s)),   # c is an input
+    chained = {}
+    if sgs is not None:
+        chained["phi_sgs_sweep"] = lambda s: s._replace(phi=phi_sgs(s))
+    else:
+        chained["phi_dct_solve"] = lambda s: s._replace(c=phi_step(s))
+    chained.update({
         "cone_projection": lambda s: s._replace(z2=z_step(s)),  # z2 is an input
         "q_step": lambda s: s._replace(alpha=q_step(s)),        # alpha is an input
         "multiplier": _mult_chain,
@@ -113,7 +144,7 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
             sigma=s.sigma + 0.0 * kernels._kkt(s)["pdGap"].astype(s.sigma.dtype)
         ),
         "full_step_fused": kernels._step,
-    }
+    })
 
     roof = _roofline()
     out = {}
@@ -133,6 +164,24 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
             row["gbps"] = nb / dt / 1e9
             row["pct_roofline"] = 100.0 * row["gbps"] / roof
         out[name] = row
+
+    if acc_state is not None and hasattr(kernels, "_halpern"):
+        halp = kernels._halpern
+        loop = jax.jit(
+            lambda e: jax.lax.fori_loop(0, iters, lambda _, x: halp(x), e)
+        )
+        r = loop(acc_state)
+        jax.block_until_ready(jax.tree.leaves(r)[0])
+        t0 = time.perf_counter()
+        r = loop(acc_state)
+        jax.block_until_ready(jax.tree.leaves(r)[0])
+        dt = (time.perf_counter() - t0) / iters
+        nb = phase_bytes["halpern_averaging"]
+        out["halpern_averaging"] = {
+            "ms": dt * 1e3,
+            "gbps": nb / dt / 1e9,
+            "pct_roofline": 100.0 * nb / dt / 1e9 / roof,
+        }
     return out
 
 
