@@ -37,6 +37,8 @@ def main():
                     help="force the CPU backend (the axon TPU plugin "
                          "overrides JAX_PLATFORMS, so use this flag)")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--export", default=None,
+                    help="publication export: .pdf/.png/.jpg frame series or .gif")
     ap.add_argument("--plot", default=None, help="save evolution plot to path")
     ap.add_argument("--images", nargs=2, default=None,
                     help="solve between two image files instead of --problem")
@@ -73,6 +75,12 @@ def main():
         show_evolution_2d(out["rho"], "imshow",
                           f"Density evolution of {args.method}", save=args.plot)
         print("saved", args.plot)
+    if args.export:
+        from dotsocp_tpu.viz.plots import export_evolution_2d
+
+        paths = export_evolution_2d(out["rho"], args.export, mode="imshow",
+                                    barrier_mask=None)
+        print("exported", *paths)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,8 @@ def main():
                     help="force the CPU backend (the axon TPU plugin "
                          "overrides JAX_PLATFORMS, so use this flag)")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--export", default=None,
+                    help="publication export: .pdf/.png/.jpg frame series or .gif")
     ap.add_argument("--plot", default=None)
     args = ap.parse_args()
 
@@ -92,6 +94,12 @@ def main():
                           f"Density evolution of {args.method}",
                           barrier_mask=mask, save=args.plot)
         print("saved", args.plot)
+    if args.export:
+        from dotsocp_tpu.viz.plots import export_evolution_2d
+
+        paths = export_evolution_2d(out["rho"], args.export, mode="contourf",
+                                    barrier_mask=mask)
+        print("exported", *paths)
 
 
 if __name__ == "__main__":

@@ -51,35 +51,99 @@ def show_evolution_1d(rho, mode: str = "join", title: str = "Density evolution",
     return fig
 
 
+_MODES_2D = ("imshow", "contourf", "contour", "contour3", "mesh")
+
+
+def _log_levels(vmax: float, n: int, with_barrier: bool):
+    """Log-spaced contour levels exp(linspace(0, log(255), n)) scaled back
+    to data units (the reference scales rho to [0, 255] instead —
+    ``show_evolution_2d.m:59-75``); a -10-equivalent underflow level when a
+    barrier is painted to -Inf."""
+    lv = np.exp(np.linspace(0.0, np.log(255.0), n)) * (vmax / 255.0)
+    if with_barrier:
+        lv = np.concatenate([[-10.0 * vmax / 255.0], lv])
+    return lv
+
+
+def _draw_frame_2d(ax, frame, mode, vmax, xx, yy, with_barrier):
+    """One frame in one of the five reference modes
+    (``show_evolution_2d.m:52-85``). 3-D axes for contour3/mesh."""
+    if mode == "imshow":
+        ax.imshow(frame, origin="lower", cmap="turbo", vmin=0, vmax=vmax)
+    elif mode == "contourf":
+        ax.contourf(xx, yy, frame,
+                    levels=_log_levels(vmax, 128, with_barrier),
+                    cmap="turbo", extend="both")
+    elif mode == "contour":
+        ax.contour(xx, yy, frame, levels=_log_levels(vmax, 30, with_barrier),
+                   cmap="turbo")
+    elif mode == "contour3":
+        # true 3-D contour stack (``contour3(xx, yy, rho, 30)``)
+        ax.contour(xx, yy, frame, levels=30, cmap="turbo")
+        ax.set_zlim(0, vmax)
+        if with_barrier:
+            ax.view_init(elev=86.05, azim=-35.1)  # the reference's view
+    elif mode == "mesh":
+        # surface with flat shading (``mesh(xx, yy, rho, FaceColor=flat)``)
+        ax.plot_surface(xx, yy, frame, cmap="turbo", vmin=0, vmax=vmax,
+                        rstride=1, cstride=1, linewidth=0.1,
+                        antialiased=False)
+        ax.set_zlim(0, vmax)
+    else:
+        raise ValueError(f"mode must be one of {_MODES_2D}, got {mode!r}")
+
+
+def _apply_barrier_2d(rho, barrier_mask, mode):
+    """The reference's barrier painting (``show_evolution_2d.m:30-48``):
+    imshow saturates barrier cells to +Inf (renders max-bright), contour3
+    to the global max, contour(f) to -Inf (under-range); mesh + barrier is
+    invalid."""
+    if barrier_mask is None:
+        return rho, False
+    if mode == "mesh":
+        raise ValueError("mode 'mesh' is invalid with a barrier "
+                         "(show_evolution_2d.m:40)")
+    m = np.asarray(barrier_mask, bool)
+    rho = np.array(rho, float)
+    if mode == "imshow":
+        rho[:, m] = rho.max()
+    elif mode == "contour3":
+        rho[:, m] = rho.max()
+    else:
+        rho[:, m] = -np.inf
+    return rho, True
+
+
 def show_evolution_2d(rho, mode: str = "imshow", title: str = "Density evolution",
                       barrier_mask=None, times: Sequence[float] = (0.0, 0.5, 1.0),
                       save: Optional[str] = None):
-    """Frames of rho at selected times (``show_evolution_2d.m``): modes
-    'imshow', 'contourf', 'contour', 'mesh'; optional barrier overlay."""
+    """Frames of rho at selected times (``show_evolution_2d.m``): the five
+    reference modes 'imshow', 'contourf', 'contour', 'contour3' (3-D
+    contour stack) and 'mesh' (3-D flat-shaded surface); optional barrier
+    with the reference's per-mode painting."""
     plt = _mpl()
     rho = np.asarray(rho)
-    nt = rho.shape[0]
+    nt, ny, nx = rho.shape
+    rho, with_barrier = _apply_barrier_2d(rho, barrier_mask, mode)
     idx = [int(round(t * (nt - 1))) for t in times]
-    fig, axes = plt.subplots(1, len(idx), figsize=(3.2 * len(idx), 3.2))
+    three_d = mode in ("contour3", "mesh")
+    fig, axes = plt.subplots(
+        1, len(idx), figsize=(3.2 * len(idx), 3.2),
+        subplot_kw={"projection": "3d"} if three_d else None,
+    )
     if len(idx) == 1:
         axes = [axes]
-    vmax = rho.max()
-    for ax, i in zip(axes, idx):
-        frame = rho[i]
-        if mode == "imshow":
-            ax.imshow(frame, origin="lower", cmap="turbo", vmin=0, vmax=vmax)
-        elif mode == "contourf":
-            ax.contourf(frame, levels=20, cmap="turbo")
-        elif mode == "contour":
-            ax.contour(frame, levels=12, cmap="turbo")
-        elif mode == "mesh":
-            ax.imshow(frame, origin="lower", cmap="turbo")
-        if barrier_mask is not None:
-            m = np.asarray(barrier_mask, float)
-            ax.contour(m, levels=[0.5], colors="k", linewidths=1.0)
+    vmax = np.nanmax(rho[np.isfinite(rho)]) if with_barrier else rho.max()
+    xx, yy = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny))
+    for ax, i in zip(np.ravel(axes), idx):
+        _draw_frame_2d(ax, rho[i], mode, vmax, xx, yy, with_barrier)
+        if barrier_mask is not None and not three_d and mode == "imshow":
+            ax.contour(np.asarray(barrier_mask, float), levels=[0.5],
+                       colors="k", linewidths=1.0)
         ax.set_title(f"t = {i / (nt - 1):.2f}")
-        ax.set_xticks([])
-        ax.set_yticks([])
+        if not three_d:
+            ax.set_xticks([])
+            ax.set_yticks([])
     fig.suptitle(title)
     fig.tight_layout()
     if save:
@@ -223,15 +287,117 @@ def hist_violation_q(q0, bs, title: str = "f(q) > 0",
     return fig
 
 
-def export_evolution_2d(rho, path_prefix: str, times=None, mode="imshow"):
-    """Per-frame image export (``export_evolution_2d.m``)."""
+def _publication_style(ax, mode: str):
+    """The reference's figure polish (``export_evolution_2d.m``
+    setGraphic_* + adjust_fig of ``show_evolution_2d.m``): serif/Times
+    fonts, fontsize 12, axis linewidth 1.5, per-mode margins (imshow:
+    near-full-bleed, no axes; contour(f): 2-D axes with margins;
+    contour3/mesh: 3-D axes)."""
+    import matplotlib as mpl
+
+    three_d = hasattr(ax, "get_zlim")
+    for item in ([ax.title] + ax.get_xticklabels() + ax.get_yticklabels()):
+        item.set_fontsize(12)
+        item.set_fontfamily("serif")
+    if not three_d:
+        for sp in ax.spines.values():
+            sp.set_linewidth(1.5)
+    if mode == "imshow":
+        ax.set_axis_off()
+        ax.set_position([0.05, 0.0, 0.90, 1.0])   # setGraphic_WOAxis
+    elif mode == "contourf":
+        ax.set_xticks([])
+        ax.set_yticks([])
+        ax.set_position([0.05, 0.05, 0.90, 0.90])  # setGraphic_WO2dimAxis
+    elif mode == "contour":
+        ax.set_position([0.15, 0.10, 0.80, 0.85])  # setGraphic_W2dimAxis
+    ax.set_title("")
+
+
+def export_evolution_2d(rho, path: str, num_frame: int = 6,
+                        mode: str = "imshow", barrier_mask=None,
+                        colorbar: bool = False, dpi: int = 600):
+    """Publication-grade evolution export (``export_evolution_2d.m``).
+
+    ``path`` selects the format by extension: '.pdf'/'.png'/'.jpg' write a
+    per-frame image series ``name-t=<x>.<ext>`` (``num_frame`` frames,
+    timestamps rounded to the reference's precision rule, 600 dpi); '.gif'
+    writes an animation of all nt frames over ~5 s (this environment has
+    no ffmpeg, so the reference's '.mp4'/'.avi' raise with the gif
+    fallback named). Frames use the reference's per-mode margins/fonts;
+    imshow frames are value-inverted like the reference's export path
+    (``export_evolution_2d.m:90-92``: rho2 = maxVal - rho on white)."""
+    import os
+
+    plt = _mpl()
     rho = np.asarray(rho)
-    nt = rho.shape[0]
-    if times is None:
-        times = np.linspace(0, 1, min(nt, 9))
+    nt, ny, nx = rho.shape
+    root, ext = os.path.splitext(path)
+    ext = ext.lower()
+    if ext in (".mp4", ".avi"):
+        raise ValueError(
+            "no ffmpeg in this environment: use '.gif' (pillow writer) "
+            "instead of '.mp4'/'.avi'"
+        )
+    if ext not in (".pdf", ".png", ".jpg", ".gif"):
+        raise ValueError(f"unsupported export extension {ext!r}")
+    d = os.path.dirname(root)
+    if d:
+        os.makedirs(d, exist_ok=True)
+
+    rho_p, with_barrier = _apply_barrier_2d(rho, barrier_mask, mode)
+    vmax = (np.nanmax(rho_p[np.isfinite(rho_p)]) if with_barrier
+            else rho_p.max())
+    xx, yy = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny))
+    three_d = mode in ("contour3", "mesh")
+
+    def render(ax, i):
+        if mode == "imshow":
+            # the export path inverts values onto white paper
+            ax.imshow(vmax - rho_p[i], origin="lower", cmap="gray",
+                      vmin=0, vmax=vmax)
+        else:
+            _draw_frame_2d(ax, rho_p[i], mode, vmax, xx, yy, with_barrier)
+        _publication_style(ax, mode)
+
+    if ext == ".gif":
+        from matplotlib.animation import FuncAnimation, PillowWriter
+
+        fig, ax = plt.subplots(
+            figsize=(8, 8),
+            subplot_kw={"projection": "3d"} if three_d else None,
+        )
+
+        def update(i):
+            ax.clear()
+            render(ax, i)
+            return []
+
+        anim = FuncAnimation(fig, update, frames=nt)
+        anim.save(path, writer=PillowWriter(fps=max(nt / 5.0, 1.0)))
+        plt.close(fig)
+        return [path]
+
+    # image series: frame indices + timestamp precision rule
+    # (``export_evolution_2d.m:146-158``)
+    ind = np.round(np.linspace(0, nt - 1, num_frame)).astype(int)
+    flops = 2 if num_frame <= 20 else (3 if num_frame <= 200 else 4)
     paths = []
-    for t in times:
-        p = f"{path_prefix}_t{t:.2f}.png"
-        show_evolution_2d(rho, mode=mode, times=(t,), save=p)
+    for i in ind:
+        fig, ax = plt.subplots(
+            figsize=(8, 8),
+            subplot_kw={"projection": "3d"} if three_d else None,
+        )
+        fig.patch.set_facecolor("white")
+        render(ax, i)
+        if colorbar and mode in ("imshow", "contourf"):
+            sm = plt.cm.ScalarMappable(
+                cmap="gray" if mode == "imshow" else "turbo",
+                norm=plt.Normalize(0, vmax))
+            fig.colorbar(sm, ax=ax, fraction=0.046, pad=0.02)
+        t_val = round(i / (nt - 1), flops)
+        p = f"{root}-t={t_val:.{flops}f}{ext}"
+        fig.savefig(p, dpi=dpi, facecolor="white")
+        plt.close(fig)
         paths.append(p)
     return paths

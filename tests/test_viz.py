@@ -28,22 +28,51 @@ def test_all_plots_render(tmp_path):
 
     plots.show_evolution_1d(rho[:, 8, :], "join", save=p("e1j.png"))
     plots.show_evolution_1d(rho[:, 8, :], "tile", save=p("e1t.png"))
-    for mode in ("imshow", "contourf", "contour", "mesh"):
+    for mode in ("imshow", "contourf", "contour", "contour3", "mesh"):
         plots.show_evolution_2d(rho, mode, save=p(f"e2{mode}.png"))
     mask = np.zeros(rho.shape[1:], bool)
     mask[5:8, 5:8] = True
-    plots.show_evolution_2d(rho, "imshow", barrier_mask=mask, save=p("e2b.png"))
+    # per-mode barrier painting (show_evolution_2d.m:30-48)
+    for mode in ("imshow", "contourf", "contour", "contour3"):
+        plots.show_evolution_2d(rho, mode, barrier_mask=mask,
+                                save=p(f"e2b_{mode}.png"))
+    import pytest
+
+    with pytest.raises(ValueError):
+        plots.show_evolution_2d(rho, "mesh", barrier_mask=mask)
     plots.show_movement_2d(rho, Ex, Ey, save=p("mv.png"))
     kkt = np.abs(np.random.default_rng(0).standard_normal((20, 7))) * 1e-3
     plots.show_residual_curve(kkt, names=[f"k{i}" for i in range(7)],
                               save=p("rc.png"))
     plots.hist_negative_density(rho - 0.1, save=p("hn.png"))
     plots.hist_violation_q(rho[:-1], [Ex[:-1], Ey[:-1]], save=p("hv.png"))
-    exported = plots.export_evolution_2d(rho, str(tmp_path / "exp"),
-                                         times=[0.0, 1.0])
-    out.extend(exported)
     for path in out:
         assert os.path.exists(path) and os.path.getsize(path) > 0, path
+
+
+def test_export_evolution_2d_publication(tmp_path):
+    """Publication exporter (export_evolution_2d.m): per-frame image
+    series with the timestamp naming rule, pdf output, gif animation,
+    and the mp4 gate."""
+    import pytest
+
+    rho, _, _ = _fake_solution()
+    # png series, 3 frames: name-t=0.00.png ... name-t=1.00.png
+    paths = plots.export_evolution_2d(rho, str(tmp_path / "ev.png"),
+                                      num_frame=3, dpi=72)
+    assert [os.path.basename(p) for p in paths] == [
+        "ev-t=0.00.png", "ev-t=0.50.png", "ev-t=1.00.png"
+    ]
+    # pdf single frame, contourf mode with colorbar
+    paths = plots.export_evolution_2d(rho, str(tmp_path / "ev.pdf"),
+                                      num_frame=2, mode="contourf",
+                                      colorbar=True, dpi=72)
+    assert all(p.endswith(".pdf") and os.path.getsize(p) > 0 for p in paths)
+    # gif animation via the pillow writer
+    (gif,) = plots.export_evolution_2d(rho, str(tmp_path / "ev.gif"), dpi=40)
+    assert os.path.getsize(gif) > 0
+    with pytest.raises(ValueError, match="gif"):
+        plots.export_evolution_2d(rho, str(tmp_path / "ev.mp4"))
 
 
 def test_show_evolution_3d_renders(tmp_path):
