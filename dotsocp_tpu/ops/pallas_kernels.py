@@ -321,7 +321,14 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     nt = geom.nt
     C = 2 + 4 * d
     S = int(np.prod(geom.space))
-    TS = min(ts, ((S + 127) // 128) * 128)
+    # VMEM budget (~16 MB/core): the q-kernel holds ~2 cone blocks
+    # (C, nt-1, TS) plus ~10 cell/node blocks, double-buffered across the
+    # grid. Cap the cone block at ~1.4 MB: nt<=65 keeps TS=512 (the
+    # measured 513^2x65 configuration), nt=129 drops to TS=256 — at
+    # TS=512 its 2.6 MB blocks exceed scoped VMEM and the compile dies
+    # with a vmem-stack OOM (measured on v5e).
+    ts_cap = max(128, (1_400_000 // (4 * C * (nt - 1))) // 128 * 128)
+    TS = min(ts, ts_cap, ((S + 127) // 128) * 128)
     grid = ((S + TS - 1) // TS,)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
