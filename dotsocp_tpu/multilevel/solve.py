@@ -155,20 +155,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     red-black halo sweep, ops/halo_engine.py — 25x less collective traffic
     than GSPMD on the odd grids); pass layout='3d' for the GSPMD fallback."""
     if mesh is not None:
-        if layout in ("auto", "halo"):
-            if lv.geom.ndim_space in (1, 2):
-                layout = "halo"
-            else:
-                if layout == "halo":
-                    import warnings
-
-                    warnings.warn(
-                        "layout='halo' supports 1D/2D grids only; "
-                        "falling back to the GSPMD '3d' layout"
-                    )
-                layout = "3d"
-        else:
-            layout = "3d"
+        layout = "halo" if layout in ("auto", "halo") else "3d"
     elif layout == "halo":
         layout = "flat"  # halo without a mesh is meaningless
     if layout == "auto":

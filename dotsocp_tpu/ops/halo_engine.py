@@ -115,16 +115,26 @@ class OpsHalo:
         if mesh is None:
             raise ValueError("layout='halo' requires a mesh")
         d = geom.ndim_space
-        if d not in (1, 2):
-            raise NotImplementedError("halo layout supports 1D/2D grids")
+        if d not in (1, 2, 3):
+            raise NotImplementedError("halo layout supports 1D/2D/3D grids")
         self.geom = geom
         self.dtype = dtype
         self.mesh = mesh
-        self.names = ("x",) if d == 1 else ("y", "x")
-        for nm in self.names:
-            if nm not in mesh.axis_names:
-                raise ValueError(f"mesh lacks spatial axis {nm!r}")
-        self.k = tuple(int(mesh.shape[nm]) for nm in self.names)
+        self.names = {1: ("x",), 2: ("y", "x"), 3: ("z", "y", "x")}[d]
+        # spatial axes absent from the mesh stay unsharded (k=1): a 3D
+        # grid on a (y, x) mesh shards two of its three axes
+        self.k = tuple(
+            int(mesh.shape[nm]) if nm in mesh.axis_names else 1
+            for nm in self.names
+        )
+        self.spec_names = tuple(
+            nm if nm in mesh.axis_names else None for nm in self.names
+        )
+        if all(k == 1 for k in self.k):
+            raise ValueError(
+                f"mesh {dict(mesh.shape)} shares no spatial axis with "
+                f"{self.names}; use axis names from {self.names}"
+            )
         self.P = tuple(-(-n // k) * k for n, k in zip(geom.space, self.k))
         self.d = d
         # time axis: sharded iff the mesh has a non-trivial 't' axis
@@ -151,12 +161,13 @@ class OpsHalo:
 
     def _spec(self, ndim: int) -> P:
         """Canonical PartitionSpec: t on the (ndim-d-1)-th axis when
-        sharded, y/x on the trailing spatial axes."""
+        sharded, z/y/x on the trailing spatial axes (None for spatial
+        axes the mesh does not carry)."""
         lead = [None] * (ndim - self.d - 1)
         t = [self.t_name] if self.sharded_t else [None]
         if ndim == self.d:  # purely spatial (no t axis present)
             lead, t = [], []
-        return P(*lead, *t, *self.names)
+        return P(*lead, *t, *self.spec_names)
 
     def _pin(self, x):
         """Pin the canonical (t,)y/x sharding on an op output. Without

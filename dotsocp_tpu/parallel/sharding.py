@@ -59,7 +59,8 @@ def _maybe_batch(spec: P, batched: bool) -> P:
 
 
 def state_shardings(mesh: Mesh, batched: bool = True,
-                    carry_z2: bool = False) -> SolverState:
+                    carry_z2: bool = False,
+                    ndim_space: Optional[int] = None) -> SolverState:
     """NamedSharding pytree for a (possibly batch-leading) SolverState.
 
     Layouts: centered/staggered fields shard (y, x) on their trailing
@@ -70,23 +71,23 @@ def state_shardings(mesh: Mesh, batched: bool = True,
     local; scalars are replicated. ``carry_z2`` must match the kernels'
     flag (states built by kernels with ``carry_z2=False`` hold None in the
     z2 slot)."""
-    ndim_space = len([a for a in ("y", "x") if a in mesh.axis_names])
+    names = tuple(a for a in ("z", "y", "x") if a in mesh.axis_names)
+    if ndim_space is None:
+        ndim_space = len(names)
+    # mesh spatial axes bind to the TRAILING array axes (a 3D grid on a
+    # (y, x) mesh leaves its leading nz axis unsharded)
+    names = (None,) * (ndim_space - len(names)) + names
     t = "t" if "t" in mesh.axis_names else None
 
     def sh(*spec):
         return NamedSharding(mesh, _maybe_batch(P(*spec), batched))
 
-    if ndim_space == 2:
-        centered = sh(t, "y", "x")          # (nt, ny, nx)
-        zlike = sh(None, t, "y", "x")       # (C, nt-1, ny, nx)
-        stag = Staggered(
-            q0=sh(t, "y", "x"),
-            bs=(sh(t, "y", "x"), sh(t, "y", "x")),
-        )
-    else:
-        centered = sh(t, "x")
-        zlike = sh(None, t, "x")
-        stag = Staggered(q0=sh(t, "x"), bs=(sh(t, "x"),))
+    centered = sh(t, *names)            # (nt, *space)
+    zlike = sh(None, t, *names)         # (C, nt-1, *space)
+    stag = Staggered(
+        q0=sh(t, *names),
+        bs=tuple(sh(t, *names) for _ in range(ndim_space)),
+    )
     scalar = NamedSharding(mesh, P("batch") if batched else P())
     return SolverState(
         phi=centered,
@@ -126,7 +127,10 @@ def loop_state_shardings(ls, mesh: Mesh, carry_z2: bool = False):
     from ..algorithms.variants import AccState
 
     repl = NamedSharding(mesh, P())
-    state_sh = state_shardings(mesh, batched=False, carry_z2=carry_z2)
+    base = ls.s.s if isinstance(ls.s, AccState) else ls.s
+    ndim_space = getattr(base.phi, "ndim", 3) - 1
+    state_sh = state_shardings(mesh, batched=False, carry_z2=carry_z2,
+                               ndim_space=ndim_space)
 
     def sh_for(obj):
         if isinstance(obj, AccState):

@@ -247,6 +247,63 @@ def test_halo_t_solve_matches_trajectory():
                                rtol=0.05, atol=1e-7)
 
 
+def test_halo_3d_ops_match():
+    """3D grids through the halo engine on a (z, y, x) mesh — the engine
+    is dimension-generic; C = 14 cone columns."""
+    geom = Geometry(nt=5, space=(9, 9, 17))
+    mesh = make_mesh(8, axis_names=("z", "y", "x"))
+    o3 = Ops3D(geom, jnp.float64)
+    oh = make_ops(geom, jnp.float64, "halo", mesh)
+    rng = np.random.RandomState(5)
+    phi = jnp.asarray(rng.randn(*geom.phi_shape))
+    st = Staggered(
+        q0=jnp.asarray(rng.randn(*geom.q0_shape)),
+        bs=tuple(jnp.asarray(rng.randn(*geom.b_shape(a))) for a in range(3)),
+    )
+    z = jnp.asarray(rng.randn(*geom.z_shape))
+    g3, gh = o3.grad(phi), oh.stag_from_internal(oh.grad(oh.phi_to_internal(phi)))
+    np.testing.assert_array_equal(np.asarray(g3.q0), np.asarray(gh.q0))
+    for a, b in zip(g3.bs, gh.bs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t3 = o3.grad_T(st)
+    th = oh.phi_from_internal(oh.grad_T(oh.stag_to_internal(st)))
+    np.testing.assert_array_equal(np.asarray(t3), np.asarray(th))
+    b3 = o3.bfd(st, 1.3, 0.7)
+    bh = oh.z_from_internal(oh.bfd(oh.stag_to_internal(st), 1.3, 0.7))
+    np.testing.assert_array_equal(np.asarray(b3), np.asarray(bh))
+    c3 = o3.bfd_T(z, 0.9)
+    ch = oh.stag_from_internal(oh.bfd_T(oh.z_to_internal(z), 0.9))
+    np.testing.assert_array_equal(np.asarray(c3.q0), np.asarray(ch.q0))
+    for a, b in zip(c3.bs, ch.bs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p3, ph = o3.make_poisson(1.0), oh.make_poisson(1.0)
+    np.testing.assert_allclose(
+        np.asarray(oh.phi_from_internal(
+            ph.solve(oh.phi_to_internal(phi), scale=0.5))),
+        np.asarray(p3.solve(phi, scale=0.5)), rtol=1e-12, atol=1e-13)
+
+
+def test_halo_3d_solve_matches_trajectory():
+    """End-to-end 3D solve on a (z, y, x) mesh (halo is the default) vs
+    single-device, plus a PARTIAL (y, x) mesh leaving nz unsharded."""
+    from dotsocp_tpu.models.examples import get_example_3d
+    from dotsocp_tpu.multilevel.solve import solve_dot
+
+    rho0, rho1 = get_example_3d("gaussian", 9, 9, 9)
+    opts = {"tol": 5e-3, "driver": "device", "maxit": 600}
+    out1, hml1, _ = solve_dot(rho0, rho1, 5, 1, dict(opts), "inPALM",
+                              dtype=jnp.float32, verbose=False)
+    i1 = [l["iters"] for l in out1["levels"]]
+    for names in (("z", "y", "x"), ("y", "x")):
+        mesh = make_mesh(8 if len(names) == 3 else 4, axis_names=names)
+        out2, hml2, _ = solve_dot(rho0, rho1, 5, 1, dict(opts, mesh=mesh),
+                                  "inPALM", dtype=jnp.float32, verbose=False)
+        i2 = [l["iters"] for l in out2["levels"]]
+        assert i1 == i2, (names, i1, i2)
+        np.testing.assert_allclose(hml1["kkt"][-1], hml2["kkt"][-1],
+                                   rtol=0.05, atol=1e-7)
+
+
 def test_halo_solve_matches_trajectory():
     """Full multilevel solve on the halo layout (opts mesh + layout='halo')
     vs the single-device run: identical iteration counts, close KKT."""
