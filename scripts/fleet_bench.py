@@ -112,6 +112,7 @@ def main():
         "speedup_vs_sequential": round(seq_t / fleet_t, 2),
         "auto_mode": out_auto["mode"],
         "auto_seconds": round(auto_t, 3),
+        "auto_solve_seconds": round(float(out_auto["time"]), 3),
         "auto_instances_per_s": round(B / auto_t, 3),
         "all_done": bool(out["done"].all()),
         "final_level_done_iters": done_it,
