@@ -461,6 +461,21 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
              jax.ShapeDtypeStruct((nt - 1, S), dtype)]
             + [jax.ShapeDtypeStruct((nt, S), dtype)] * (2 * d)
         )
+        # Alias every output onto a same-shaped input the kernel already
+        # reads (all dead after the call): un-aliased pallas outputs pay a
+        # hidden full copy pass on this stack (measured: 359 -> 792 GB/s
+        # on a 674 MB copy once aliased — scripts/pallas_alias_probe.py).
+        # q0' <- zbs[0] (cell), alpha0' <- a0, b' <- shifted-phi temps,
+        # alpha_b' <- abs. Each grid step i only touches block i of every
+        # buffer, so in-place writes cannot race the pipeline.
+        # (interpret-mode lowering rejects aliases whose final block is
+        # padded — jax returns the padded block shape; compiled TPU handles
+        # it, so aliasing is gated on the real backend)
+        aliases = {} if interpret else {4 + 3 * d: 1, 4 + d: 0}
+        if not interpret:
+            for a in range(d):
+                aliases[2 + a] = 2 + a              # phis[a] -> bns[a]
+                aliases[5 + 3 * d + a] = 2 + d + a  # abs[a] -> abns[a]
         outs = pl.pallas_call(
             q_kernel,
             grid=grid,
@@ -469,6 +484,7 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
                       + [cell] * (2 * d) + [cell] + [node] * d
                       + [cell] + [node] * d + [mask_spec] * d + w_specs),
             out_specs=[cell, cell] + [node] * (2 * d),
+            input_output_aliases=aliases,
             interpret=interpret,
         )(sc, phi, *phis, z, beta, *zbs, a0, *abs_, dg0, *dgbs, *masks2d,
           *w_args)
@@ -505,16 +521,84 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd).at[0, 2].set(tau_v)
         bfs = [_flat_sfwd(bns[a], strides[a], S) for a in range(d)]
+        # beta' writes in place into beta's buffer (dead after the call) —
+        # see the aliasing note in q_step
         return pl.pallas_call(
             b_kernel,
             grid=grid,
             out_shape=jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
             in_specs=[scal, cell] + [node] * (2 * d) + [cone, cone],
             out_specs=cone,
+            input_output_aliases={} if interpret else {2 + 2 * d: 0},
             interpret=interpret,
         )(sc, q0n, *bns, *bfs, beta, z)
 
-    return {"z_step": z_step, "q_step": q_step, "beta_step": beta_step}
+    # ------- kernel CA: beta multiplier + NEXT iteration's z-step --------
+    # The beta-step already holds cols = scale_bf*(BF q') + scale_d*d in
+    # registers — exactly what the next iteration's z-step re-gathers from
+    # HBM (``solver_socp_inPALM.m`` computes BFd once per iteration and
+    # carries z2; kernel A re-derives it). Fusing them removes kernel A's
+    # entire read pass (~1.3 GB/iter at 513^2x65). Arithmetic is bitwise
+    # identical to beta_step followed by z_step on the updated (q', beta'):
+    # beta' = beta + tau*(z - cols); z_next = proj_soc(cols - beta').
+    # Holds 4 cone blocks in VMEM, so it runs at half the tile size.
+    TS2 = min(TS, max(128, (ts_cap // 2) // 128 * 128))
+    grid2 = ((S + TS2 - 1) // TS2,)
+    node2, cell2, cone2, scal2, _ = _specs(nt, C, TS2, None, d)
+
+    def cz_kernel(sc_ref, q0_ref, *rest):
+        b_refs = rest[:d]
+        bf_refs = rest[d:2 * d]
+        beta_ref = rest[2 * d]
+        z_ref = rest[2 * d + 1]
+        out_beta = rest[2 * d + 2]
+        out_z = rest[2 * d + 3]
+        sbf = sc_ref[0, 0]
+        sd = sc_ref[0, 1]
+        tau_v = sc_ref[0, 2]
+        s = sbf * _INV_SQRT2_F
+        q0 = q0_ref[:]
+        cols = [sd - sbf * q0]
+        for a in range(d):
+            f = bf_refs[a][:]
+            b = b_refs[a][:]
+            for sl in (slice(0, nt - 1), slice(1, nt)):
+                cols.append(s * f[sl])
+                cols.append(s * b[sl])
+        cols.append(sd + sbf * q0)
+        brows = [beta_ref[c] + tau_v * (z_ref[c] - cols[c]) for c in range(C)]
+        out_beta[:] = jnp.stack(brows, axis=0)
+        zc = [cols[c] - brows[c] for c in range(C)]
+        z0 = zc[0]
+        nrm2 = zc[1] * zc[1]
+        for c in zc[2:]:
+            nrm2 = nrm2 + c * c
+        nrm = jnp.sqrt(nrm2)
+        safe = jnp.where(nrm > 0, nrm, 1.0)
+        coef = jnp.clip(0.5 * (1.0 + z0 / safe), 0.0, 1.0)
+        head = jnp.maximum(z0, coef * nrm)
+        out_z[:] = jnp.stack([head] + [coef * c for c in zc[1:]], axis=0)
+
+    def cz_step(beta, z, q0n, bns, sbf, sd, tau_v):
+        sc = jnp.zeros((1, 8), jnp.float32)
+        sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd).at[0, 2].set(tau_v)
+        bfs = [_flat_sfwd(bns[a], strides[a], S) for a in range(d)]
+        # beta' and z_next write in place into the dead (beta, z) buffers —
+        # see the aliasing note in q_step
+        return pl.pallas_call(
+            cz_kernel,
+            grid=grid2,
+            out_shape=[jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
+                       jax.ShapeDtypeStruct((C, nt - 1, S), dtype)],
+            in_specs=[scal2, cell2] + [node2] * (2 * d) + [cone2, cone2],
+            out_specs=[cone2, cone2],
+            input_output_aliases=(
+                {} if interpret else {2 + 2 * d: 0, 3 + 2 * d: 1}),
+            interpret=interpret,
+        )(sc, q0n, *bns, *bfs, beta, z)
+
+    return {"z_step": z_step, "q_step": q_step, "beta_step": beta_step,
+            "cz_step": cz_step}
 
 
 # ---------------------------------------------------------------------------

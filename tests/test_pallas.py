@@ -170,3 +170,28 @@ def test_fused_flat_step_kkt_consistent():
     # atol floors numerically-zero residuals (~1e-9 at early iterations)
     np.testing.assert_allclose(r1["kkt_org"], r0["kkt_org"], rtol=1e-3,
                                atol=1e-7)
+
+
+@pytest.mark.parametrize("k", [1, 4])
+def test_ca_fused_segment_matches_plain_steps(k):
+    """The CA-fused segment (z-step prologue + cz_step iterations + legacy
+    boundary step, core.Kernels.segment_impl) must leave a boundary state
+    matching k plain fused steps op for op: the cz kernel's arithmetic is
+    the beta-step followed by the z-step on (q', beta'). The only deviation
+    allowed is FMA contraction (z_kernel's ``s*f - beta`` fuses into an FMA
+    where the cz kernel rounds ``s*f`` before subtracting the beta it just
+    computed) — 1-2 ulp in f32, measured max 1.8e-7 over 4 iterations."""
+    k0, k1, lv = _fused_pair("example2", 17, 7, 2)
+    assert k1.segment_ca
+    assert not k0.segment_ca  # jnp path keeps the plain loop
+    s_plain = k1.prep(lv.as_dict(), sigma=1.0)
+    s_seg = k1.prep(lv.as_dict(), sigma=1.0)
+    for _ in range(k):
+        s_plain = k1.run_one(s_plain)
+    s_seg = k1.run_segment(s_seg, k)
+    for a, b in zip(jax.tree.leaves(s_plain), jax.tree.leaves(s_seg)):
+        if k == 1:  # identical kernel sequence: bitwise
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-6, atol=2e-6)
