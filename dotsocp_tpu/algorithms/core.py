@@ -145,13 +145,13 @@ class Kernels:
             self.weight = None
         else:
             self.weight = self.ops.weight_to_internal(weight.astype(dtype))
-        # fused Pallas step (SURVEY section-7 step 5): flat f32 1D/2D,
+        # fused Pallas step (SURVEY section-7 step 5): flat f32 1D/2D/3D,
         # weighted or not (the weight is a diagonal operand of the q-step
         # kernel); everything else stays on the jnp ops
         self._fused = None
         if (cfg.use_pallas and cfg.layout == "flat"
                 and jnp.dtype(dtype) == jnp.float32
-                and geom.ndim_space in (1, 2)):
+                and geom.ndim_space in (1, 2, 3)):
             from ..ops.pallas_kernels import make_fused_flat_step
 
             self._fused = make_fused_flat_step(

@@ -677,7 +677,18 @@ def solve_dot(
             rho=float(opts.get("rho", 2.0)),
             theta=float(opts.get("theta", 2.0)),
         )
-        solver = _build_solver(method, lv, o, refine_dtype,
+        # the tail may run a different algorithm than the multilevel sweep
+        # (opts['refine_method']). Measured (scripts/refine_tail_experiment
+        # .py, 65^2x17 f64 tails to 1e-6): acc-ADMM is NOT a shortcut —
+        # 1569 vs 1169 iters and 2x the iteration cost vs inPALM on
+        # example1; both hit the 10k cap on example2. The default stays the
+        # sweep's own method.
+        refine_method = str(opts.get("refine_method", method))
+        methods_ok = WDOT_METHODS if lv.weight is not None else DOT_METHODS
+        if refine_method not in methods_ok:
+            raise ValueError(
+                f"refine_method {refine_method!r} not in {methods_ok}")
+        solver = _build_solver(refine_method, lv, o, refine_dtype,
                                driver=str(opts.get("driver", "auto")),
                                device_kw=device_kw,
                                reuse=bool(opts.get("reuse_solvers", True)),

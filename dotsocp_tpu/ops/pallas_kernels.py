@@ -81,6 +81,9 @@ def make_sgs_sweep_pallas(geom: Geometry, D: float, dtype=jnp.float32):
 
     @jax.jit
     def sweep(phi, rhs, inv_diag):
+        # new phi writes in place into the dead input phi buffer (single
+        # whole-field block; un-aliased pallas outputs pay a hidden copy
+        # pass on this stack — see make_fused_flat_step)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
@@ -90,6 +93,8 @@ def make_sgs_sweep_pallas(geom: Geometry, D: float, dtype=jnp.float32):
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            input_output_aliases=(
+                {} if jax.default_backend() != "tpu" else {0: 0}),
         )(phi, rhs, inv_diag)
 
     return sweep
@@ -315,7 +320,7 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     if not HAVE_PALLAS:
         return None
     d = geom.ndim_space
-    if d not in (1, 2):
+    if d not in (1, 2, 3):
         return None
     weighted = weight is not None
     nt = geom.nt

@@ -5,7 +5,8 @@ table (Step_1_1_FFT, Step_1_2_ProjSOC, Step_2_Q_Step, Step_3_Multiplier,
 KKT, Total_Time, Iters — ``solver_socp_inPALM.m:124-128,339-341``). Under
 jit those phases fuse into one computation, so production runs report
 segment-level time only; this module provides the *profiling mode*: each
-phase jitted separately and fenced with block_until_ready, plus achieved
+phase jitted separately and hard-fenced (device_get of one element —
+block_until_ready does not block over the axon tunnel), plus achieved
 HBM bandwidth against the chip roofline (BASELINE.md kernel-efficiency
 target).
 """
@@ -34,6 +35,13 @@ def _roofline() -> float:
         if k.lower() in name.lower():
             return v
     return ROOFLINE_GBPS["cpu"]
+
+
+def _sync(tree):
+    """Hard fence: ``block_until_ready`` does NOT block on axon-tunneled
+    buffers (docs/DESIGN.md section 11); fetching one element does."""
+    leaf = jax.tree.leaves(tree)[0]
+    return jax.device_get(leaf.ravel()[0])
 
 
 def _nbytes(tree) -> int:
@@ -153,10 +161,10 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
             lambda s, f=fn: jax.lax.fori_loop(0, iters, lambda _, st: f(st), s)
         )
         r = loop(state_full if name == "full_step_fused" else state)
-        jax.block_until_ready(jax.tree.leaves(r)[0])  # compile + warm
+        _sync(r)  # compile + warm
         t0 = time.perf_counter()
         r = loop(state_full if name == "full_step_fused" else state)
-        jax.block_until_ready(jax.tree.leaves(r)[0])
+        _sync(r)
         dt = (time.perf_counter() - t0) / iters
         row = {"ms": dt * 1e3}
         nb = phase_bytes.get(name)
@@ -171,10 +179,10 @@ def profile_phases(kernels, state, iters: int = 30) -> Dict[str, dict]:
             lambda e: jax.lax.fori_loop(0, iters, lambda _, x: halp(x), e)
         )
         r = loop(acc_state)
-        jax.block_until_ready(jax.tree.leaves(r)[0])
+        _sync(r)
         t0 = time.perf_counter()
         r = loop(acc_state)
-        jax.block_until_ready(jax.tree.leaves(r)[0])
+        _sync(r)
         dt = (time.perf_counter() - t0) / iters
         nb = phase_bytes["halpern_averaging"]
         out["halpern_averaging"] = {

@@ -47,3 +47,33 @@ def test_refine_matches_pure_f64_solution():
     np.testing.assert_allclose(
         np.asarray(out_r["rho"]), np.asarray(out_d["rho"]), atol=5e-4
     )
+
+
+def test_refine_method_override():
+    """opts['refine_method'] runs the f64 tail under a different algorithm
+    (measured in scripts/refine_tail_experiment.py — the option exists for
+    experimentation; the default stays the sweep's own method)."""
+    rho0, rho1 = _problem(17, seed=1)
+    out, hml, h = solve_dot(
+        rho0, rho1, 5, 1,
+        {"tol": 1e-4, "maxit": 4000, "refine_tol": 1e-6,
+         "refine_method": "acc-ADMM", "reuse_solvers": False},
+        "inPALM", dtype=jnp.float32, verbose=False,
+    )
+    k = h["kkt"][-1]
+    assert max(k[i] for i in (0, 2, 5, 6)) < 1e-6
+    assert out["mass_ok"]
+    assert "ADMM" in h["method"]  # solver display name: "Accelerated ADMM ..."
+
+
+def test_refine_method_invalid():
+    import pytest
+
+    rho0, rho1 = _problem(17)
+    with pytest.raises(ValueError, match="refine_method"):
+        solve_dot(
+            rho0, rho1, 5, 1,
+            {"tol": 1e-3, "maxit": 200, "refine_tol": 1e-4,
+             "refine_method": "nonsense", "reuse_solvers": False},
+            "inPALM", dtype=jnp.float32, verbose=False,
+        )
