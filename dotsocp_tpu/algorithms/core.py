@@ -238,23 +238,25 @@ class Kernels:
                           z2=self._keep_z2(None) if not self.carry_z2 else
                           ops.bfd(q, sbf, sd))
 
-    # -- CA-fused segment (beta-step fused with the next z-step) ---------
-    def _fresh_z(self, s: SolverState):
-        """z-step value for the CURRENT (q, beta) — what the next iteration's
-        kernel A would compute. Bitwise equal to
-        ``proj_soc(bfd(q) - beta)`` on the flat layout."""
-        return self._fused["z_step"](s.q.q0, list(s.q.bs), s.beta,
+    # -- CA-fused x-carry segment ----------------------------------------
+    # Inside a segment the z slot carries x = z + beta: the q-step only
+    # consumes (z + beta), so one cone read replaces two, and the CA
+    # kernel (beta multiplier fused with the next z-step) forms
+    # x' = z' + beta' in registers. The boundary step emits the legacy
+    # stale z, so segment-edge states keep the reference layout and all
+    # KKT / sigma / rescale logic sees unchanged semantics. Deviation vs
+    # the plain path: FMA contraction + the (z+beta)-beta reconstruction,
+    # ~1e-7 in f32 — three orders below the f32 KKT floor.
+    def _fresh_x(self, s: SolverState):
+        """x = proj_soc(bfd(q) - beta) + beta for the CURRENT (q, beta) —
+        the segment prologue."""
+        return self._fused["x_step"](s.q.q0, list(s.q.bs), s.beta,
                                      s.E / s.D, s.E / s.dScale)
 
-    def _step_fused_carried(self, s: SolverState, final: bool) -> SolverState:
-        """One iteration that CONSUMES a fresh z from the state (computed by
-        the previous iteration's cz_step, or by the segment prologue)
-        instead of re-gathering it from q. ``final=False`` emits
-        (beta', z_next) via the fused CA kernel; ``final=True`` emits the
-        legacy boundary state (beta' via kernel C, z left as the value this
-        iteration's q-step consumed — exactly what ``_step_fused`` leaves),
-        so segment-boundary states are bitwise identical to the unfused
-        trajectory and KKT / rescale / sigma logic see the same values."""
+    def _step_fused_x(self, s: SolverState, final: bool) -> SolverState:
+        """One x-carry iteration (``s.z`` holds x). ``final=True`` emits the
+        legacy boundary state (beta' via the multiplier step, z = the value
+        this iteration's q-step consumed — what ``_step_fused`` leaves)."""
         cfg = self.cfg
         ops = self.ops
         f = self._fused
@@ -263,44 +265,42 @@ class Kernels:
         tau_v = jnp.asarray(cfg.tau, s.phi.dtype)
         rhs = s.D * ops.grad_T(self._w(s.q) - s.alpha) + s.c
         phi = self._poisson_solve(s, rhs)
-        q0n, bns, a0n, abns = f["q_step"](
-            phi, s.z, s.beta, s.alpha.q0, list(s.alpha.bs),
+        q0n, bns, a0n, abns = f["qx_step"](
+            phi, s.z, s.alpha.q0, list(s.alpha.bs),
             s.diag_q_inv.q0, list(s.diag_q_inv.bs),
             s.D, sbf, tau_v,
         )
-        if final:
-            beta = f["beta_step"](s.beta, s.z, q0n, bns, sbf, sd, tau_v)
-            z = s.z
-        else:
-            beta, z = f["cz_step"](s.beta, s.z, q0n, bns, sbf, sd, tau_v)
+        step = f["cx_final"] if final else f["cx_step"]
+        beta, znew = step(s.beta, s.z, q0n, bns, sbf, sd, tau_v)
         q = Staggered(q0=q0n, bs=tuple(bns))
         alpha = Staggered(q0=a0n, bs=tuple(abns))
-        return s._replace(phi=phi, q=q, z=z, alpha=alpha, beta=beta,
+        return s._replace(phi=phi, q=q, z=znew, alpha=alpha, beta=beta,
                           z2=self._keep_z2(None) if not self.carry_z2 else
                           ops.bfd(q, sbf, sd))
 
     @property
     def segment_ca(self) -> bool:
-        """True when segments run the CA-fused structure: the fused Pallas
-        step is active, the cz kernel exists, and the subclass has not
-        replaced the step (PALM / sGS / acc variants keep the plain loop)."""
-        return (self._fused is not None and "cz_step" in self._fused
+        """True when segments run the CA-fused x-carry structure: the fused
+        Pallas step is active, the x-carry kernels exist, and the subclass
+        has not replaced the step (PALM / sGS / acc variants keep the plain
+        loop)."""
+        return (self._fused is not None and "cx_step" in self._fused
                 and type(self)._step is Kernels._step
                 and not self.carry_z2)
 
     def segment_impl(self, s: SolverState, k) -> SolverState:
         """k event-free iterations (traced k) in one fori_loop. With the
-        CA-fused kernels: one z-step prologue, k-1 CA iterations (each
-        saves kernel A's full read pass), one boundary iteration."""
+        CA-fused kernels: one x-step prologue, k-1 x-carry CA iterations,
+        one boundary iteration restoring the legacy (z, beta) state."""
         if not self.segment_ca:
             return jax.lax.fori_loop(0, k, lambda _, st: self._step(st), s)
 
         def seg(st):
-            st = st._replace(z=self._fresh_z(st))
+            st = st._replace(z=self._fresh_x(st))
             st = jax.lax.fori_loop(
                 0, k - 1,
-                lambda _, x: self._step_fused_carried(x, final=False), st)
-            return self._step_fused_carried(st, final=True)
+                lambda _, x: self._step_fused_x(x, final=False), st)
+            return self._step_fused_x(st, final=True)
 
         return jax.lax.cond(k >= 1, seg, lambda st: st, s)
 

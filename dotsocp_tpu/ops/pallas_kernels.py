@@ -538,60 +538,215 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             interpret=interpret,
         )(sc, q0n, *bns, *bfs, beta, z)
 
-    # ------- kernel CA: beta multiplier + NEXT iteration's z-step --------
-    # The beta-step already holds cols = scale_bf*(BF q') + scale_d*d in
-    # registers — exactly what the next iteration's z-step re-gathers from
-    # HBM (``solver_socp_inPALM.m`` computes BFd once per iteration and
-    # carries z2; kernel A re-derives it). Fusing them removes kernel A's
-    # entire read pass (~1.3 GB/iter at 513^2x65). Arithmetic is bitwise
-    # identical to beta_step followed by z_step on the updated (q', beta'):
-    # beta' = beta + tau*(z - cols); z_next = proj_soc(cols - beta').
-    # Holds 4 cone blocks in VMEM, so it runs at half the tile size.
+    # ------- CA kernels run at half the tile size (4 cone blocks) --------
     TS2 = min(TS, max(128, (ts_cap // 2) // 128 * 128))
     grid2 = ((S + TS2 - 1) // TS2,)
     node2, cell2, cone2, scal2, _ = _specs(nt, C, TS2, None, d)
 
-    def cz_kernel(sc_ref, q0_ref, *rest):
+    # ---------------- x-carry variants (x = z + beta) --------------------
+    # Inside a segment the q-step only ever consumes z and beta through
+    # their SUM (xcol = z + beta), so carrying x instead of z halves the
+    # q-step's cone reads (674 MB/iter at 513^2x65). The CA kernel forms
+    # x' = z' + beta' in registers; the boundary step emits the legacy
+    # stale z = x - beta so segment-edge states keep the reference layout.
+    # Reconstruction (z+beta)-beta reintroduces <= 1 ulp of x — three
+    # orders below the f32 KKT floor (~1e-4); parity tests pin 2e-6.
+
+    # kernel A': x = proj_soc(bfd(q) - beta) + beta (segment prologue)
+    def x_kernel(sc_ref, q0_ref, *rest):
         b_refs = rest[:d]
         bf_refs = rest[d:2 * d]
         beta_ref = rest[2 * d]
-        z_ref = rest[2 * d + 1]
-        out_beta = rest[2 * d + 2]
-        out_z = rest[2 * d + 3]
+        x_ref = rest[2 * d + 1]
         sbf = sc_ref[0, 0]
         sd = sc_ref[0, 1]
-        tau_v = sc_ref[0, 2]
         s = sbf * _INV_SQRT2_F
         q0 = q0_ref[:]
-        cols = [sd - sbf * q0]
+        cols = [(sd - sbf * q0) - beta_ref[0]]
+        ci = 1
         for a in range(d):
             f = bf_refs[a][:]
             b = b_refs[a][:]
             for sl in (slice(0, nt - 1), slice(1, nt)):
-                cols.append(s * f[sl])
-                cols.append(s * b[sl])
-        cols.append(sd + sbf * q0)
-        brows = [beta_ref[c] + tau_v * (z_ref[c] - cols[c]) for c in range(C)]
-        out_beta[:] = jnp.stack(brows, axis=0)
-        zc = [cols[c] - brows[c] for c in range(C)]
-        z0 = zc[0]
-        nrm2 = zc[1] * zc[1]
-        for c in zc[2:]:
+                cols.append(s * f[sl] - beta_ref[ci]); ci += 1
+                cols.append(s * b[sl] - beta_ref[ci]); ci += 1
+        cols.append((sd + sbf * q0) - beta_ref[C - 1])
+        z0 = cols[0]
+        nrm2 = cols[1] * cols[1]
+        for c in cols[2:]:
             nrm2 = nrm2 + c * c
         nrm = jnp.sqrt(nrm2)
         safe = jnp.where(nrm > 0, nrm, 1.0)
         coef = jnp.clip(0.5 * (1.0 + z0 / safe), 0.0, 1.0)
         head = jnp.maximum(z0, coef * nrm)
-        out_z[:] = jnp.stack([head] + [coef * c for c in zc[1:]], axis=0)
+        rows = [head + beta_ref[0]]
+        for c in range(1, C):
+            rows.append(coef * cols[c] + beta_ref[c])
+        x_ref[:] = jnp.stack(rows, axis=0)
 
-    def cz_step(beta, z, q0n, bns, sbf, sd, tau_v):
+    def x_step(q0, bs, beta, sbf, sd):
+        sc = jnp.zeros((1, 8), jnp.float32)
+        sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd)
+        bfs = [_flat_sfwd(bs[a], strides[a], S) for a in range(d)]
+        return pl.pallas_call(
+            x_kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
+            in_specs=[scal, cell] + [node] * (2 * d) + [cone],
+            out_specs=cone,
+            interpret=interpret,
+        )(sc, q0, *bs, *bfs, beta)
+
+    # kernel B': q-step + alpha from the carried x (one cone read)
+    def qx_kernel(sc_ref, phi_ref, *rest):
+        i = 0
+        phis = rest[i:i + d]; i += d
+        x_ref = rest[i]; i += 1
+        xbs_refs = rest[i:i + 2 * d]; i += 2 * d
+        a0_ref = rest[i]; i += 1
+        ab_refs = rest[i:i + d]; i += d
+        dg0_ref = rest[i]; i += 1
+        dgb_refs = rest[i:i + d]; i += d
+        mask_refs = rest[i:i + d]; i += d
+        if weighted:
+            w0_ref = rest[i]; i += 1
+            wb_refs = rest[i:i + d]; i += d
+        out_q0, out_a0 = rest[i], rest[i + 1]
+        out_b = rest[i + 2:i + 2 + d]
+        out_ab = rest[i + 2 + d:i + 2 + 2 * d]
+
+        D = sc_ref[0, 0]
+        sbf = sc_ref[0, 1]
+        tau_v = sc_ref[0, 2]
+        s = sbf * _INV_SQRT2_F
+        phi = phi_ref[:]
+
+        tmp_q0 = D * ((phi[1:] - phi[:-1]) / ht)
+        q2_q0 = sbf * (x_ref[C - 1] - x_ref[0])
+        if weighted:
+            w0 = w0_ref[:]
+            q0n = (w0 * (tmp_q0 + a0_ref[:]) + q2_q0) * dg0_ref[:]
+            out_a0[:] = a0_ref[:] + tau_v * (tmp_q0 - w0 * q0n)
+        else:
+            q0n = (tmp_q0 + a0_ref[:] + q2_q0) * dg0_ref[:]
+            out_a0[:] = a0_ref[:] + tau_v * (tmp_q0 - q0n)
+        out_q0[:] = q0n
+
+        zpad = jnp.zeros((1, phi.shape[-1]), phi.dtype)
+        for a in range(d):
+            m = mask_refs[a][:]
+            tmp_b = D * (((phis[a][:] - phi) / hs[a]) * m)
+            c0 = 1 + 4 * a
+            lo_sum = xbs_refs[2 * a][:] + x_ref[c0 + 1]
+            hi_sum = xbs_refs[2 * a + 1][:] + x_ref[c0 + 3]
+            acc = (jnp.concatenate([lo_sum, zpad], axis=0)
+                   + jnp.concatenate([zpad, hi_sum], axis=0))
+            q2_b = (s * acc) * m
+            if weighted:
+                wb = wb_refs[a][:]
+                bn = (wb * (tmp_b + ab_refs[a][:]) + q2_b) * dgb_refs[a][:]
+                out_b[a][:] = bn
+                out_ab[a][:] = ab_refs[a][:] + tau_v * (tmp_b - wb * bn)
+            else:
+                bn = (tmp_b + ab_refs[a][:] + q2_b) * dgb_refs[a][:]
+                out_b[a][:] = bn
+                out_ab[a][:] = ab_refs[a][:] + tau_v * (tmp_b - bn)
+
+    def qx_step(phi, x, a0, abs_, dg0, dgbs, D, sbf, tau_v):
+        sc = jnp.zeros((1, 8), jnp.float32)
+        sc = sc.at[0, 0].set(D).at[0, 1].set(sbf).at[0, 2].set(tau_v)
+        phis = [_flat_sbwd(phi, strides[a], S) for a in range(d)]
+        xbs = []
+        for a in range(d):
+            c0 = 1 + 4 * a
+            xbs.append(_flat_sbwd(x[c0], strides[a], S))
+            xbs.append(_flat_sbwd(x[c0 + 2], strides[a], S))
+        masks2d = [m.reshape(1, S) for m in masks]
+        w_args = ([weight.q0] + list(weight.bs)) if weighted else []
+        w_specs = ([cell] + [node] * d) if weighted else []
+        out_shape = (
+            [jax.ShapeDtypeStruct((nt - 1, S), dtype),
+             jax.ShapeDtypeStruct((nt - 1, S), dtype)]
+            + [jax.ShapeDtypeStruct((nt, S), dtype)] * (2 * d)
+        )
+        # aliases (see q_step note): a0 -> alpha0', xbs[0] -> q0',
+        # phis[a] -> b', abs[a] -> alpha_b'. One fewer cone input than
+        # q_step shifts every index down by one.
+        aliases = {} if interpret else {3 + 3 * d: 1, 3 + d: 0}
+        if not interpret:
+            for a in range(d):
+                aliases[2 + a] = 2 + a
+                aliases[4 + 3 * d + a] = 2 + d + a
+        outs = pl.pallas_call(
+            qx_kernel,
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=([scal, node] + [node] * d + [cone]
+                      + [cell] * (2 * d) + [cell] + [node] * d
+                      + [cell] + [node] * d + [mask_spec] * d + w_specs),
+            out_specs=[cell, cell] + [node] * (2 * d),
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(sc, phi, *phis, x, *xbs, a0, *abs_, dg0, *dgbs, *masks2d,
+          *w_args)
+        q0n, a0n = outs[0], outs[1]
+        return q0n, list(outs[2:2 + d]), a0n, list(outs[2 + d:])
+
+    # kernel CA'/final: beta multiplier + next x (or the legacy stale z at
+    # the segment boundary), from (beta, x)
+    def make_cx_kernel(final):
+        def cx_kernel(sc_ref, q0_ref, *rest):
+            b_refs = rest[:d]
+            bf_refs = rest[d:2 * d]
+            beta_ref = rest[2 * d]
+            x_ref = rest[2 * d + 1]
+            out_beta = rest[2 * d + 2]
+            out_x = rest[2 * d + 3]
+            sbf = sc_ref[0, 0]
+            sd = sc_ref[0, 1]
+            tau_v = sc_ref[0, 2]
+            s = sbf * _INV_SQRT2_F
+            q0 = q0_ref[:]
+            cols = [sd - sbf * q0]
+            for a in range(d):
+                f = bf_refs[a][:]
+                b = b_refs[a][:]
+                for sl in (slice(0, nt - 1), slice(1, nt)):
+                    cols.append(s * f[sl])
+                    cols.append(s * b[sl])
+            cols.append(sd + sbf * q0)
+            zs = [x_ref[c] - beta_ref[c] for c in range(C)]  # stale z
+            brows = [beta_ref[c] + tau_v * (zs[c] - cols[c])
+                     for c in range(C)]
+            out_beta[:] = jnp.stack(brows, axis=0)
+            if final:
+                out_x[:] = jnp.stack(zs, axis=0)  # legacy boundary z
+                return
+            zc = [cols[c] - brows[c] for c in range(C)]
+            z0 = zc[0]
+            nrm2 = zc[1] * zc[1]
+            for c in zc[2:]:
+                nrm2 = nrm2 + c * c
+            nrm = jnp.sqrt(nrm2)
+            safe = jnp.where(nrm > 0, nrm, 1.0)
+            coef = jnp.clip(0.5 * (1.0 + z0 / safe), 0.0, 1.0)
+            head = jnp.maximum(z0, coef * nrm)
+            rows = [head + brows[0]]
+            for c in range(1, C):
+                rows.append(coef * zc[c] + brows[c])
+            out_x[:] = jnp.stack(rows, axis=0)
+
+        return cx_kernel
+
+    cx_kernel_mid = make_cx_kernel(final=False)
+    cx_kernel_fin = make_cx_kernel(final=True)
+
+    def _cx(kern, beta, x, q0n, bns, sbf, sd, tau_v):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd).at[0, 2].set(tau_v)
         bfs = [_flat_sfwd(bns[a], strides[a], S) for a in range(d)]
-        # beta' and z_next write in place into the dead (beta, z) buffers —
-        # see the aliasing note in q_step
         return pl.pallas_call(
-            cz_kernel,
+            kern,
             grid=grid2,
             out_shape=[jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
                        jax.ShapeDtypeStruct((C, nt - 1, S), dtype)],
@@ -600,10 +755,18 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             input_output_aliases=(
                 {} if interpret else {2 + 2 * d: 0, 3 + 2 * d: 1}),
             interpret=interpret,
-        )(sc, q0n, *bns, *bfs, beta, z)
+        )(sc, q0n, *bns, *bfs, beta, x)
+
+    def cx_step(beta, x, q0n, bns, sbf, sd, tau_v):
+        return _cx(cx_kernel_mid, beta, x, q0n, bns, sbf, sd, tau_v)
+
+    def cx_final(beta, x, q0n, bns, sbf, sd, tau_v):
+        """Returns (beta', stale z) — the legacy segment-boundary state."""
+        return _cx(cx_kernel_fin, beta, x, q0n, bns, sbf, sd, tau_v)
 
     return {"z_step": z_step, "q_step": q_step, "beta_step": beta_step,
-            "cz_step": cz_step}
+            "x_step": x_step, "qx_step": qx_step,
+            "cx_step": cx_step, "cx_final": cx_final}
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,7 @@ def test_fused_flat_step_weighted_matches_jnp():
 
     k0, k1 = mk(False), mk(True)
     assert k1._fused is not None
+    assert k1.segment_ca
     s0 = k0.prep(lv.as_dict(), sigma=1.0)
     s1 = k1.prep(lv.as_dict(), sigma=1.0)
     for _ in range(5):
@@ -154,6 +155,12 @@ def test_fused_flat_step_weighted_matches_jnp():
             np.testing.assert_allclose(
                 np.asarray(y), np.asarray(x), rtol=2e-5, atol=2e-6
             )
+    # weighted x-carry segment: boundary state matches the plain steps
+    s_seg = k1.prep(lv.as_dict(), sigma=1.0)
+    s_seg = k1.run_segment(s_seg, 5)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s_seg)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-6, atol=2e-6)
 
 
 def test_fused_flat_step_kkt_consistent():
@@ -174,13 +181,13 @@ def test_fused_flat_step_kkt_consistent():
 
 @pytest.mark.parametrize("k", [1, 4])
 def test_ca_fused_segment_matches_plain_steps(k):
-    """The CA-fused segment (z-step prologue + cz_step iterations + legacy
-    boundary step, core.Kernels.segment_impl) must leave a boundary state
-    matching k plain fused steps op for op: the cz kernel's arithmetic is
-    the beta-step followed by the z-step on (q', beta'). The only deviation
-    allowed is FMA contraction (z_kernel's ``s*f - beta`` fuses into an FMA
-    where the cz kernel rounds ``s*f`` before subtracting the beta it just
-    computed) — 1-2 ulp in f32, measured max 1.8e-7 over 4 iterations."""
+    """The CA-fused x-carry segment (x-step prologue + cx_step iterations +
+    cx_final boundary step, core.Kernels.segment_impl) must leave a
+    boundary state matching k plain fused steps op for op: inside the
+    segment the z slot carries x = z + beta (one cone read in the q-step),
+    and the CA kernel is the beta multiplier fused with the next z-step.
+    Allowed deviations: FMA contraction and the (z+beta)-beta
+    reconstruction — 1-2 ulp in f32 per iteration."""
     k0, k1, lv = _fused_pair("example2", 17, 7, 2)
     assert k1.segment_ca
     assert not k0.segment_ca  # jnp path keeps the plain loop
@@ -190,11 +197,8 @@ def test_ca_fused_segment_matches_plain_steps(k):
         s_plain = k1.run_one(s_plain)
     s_seg = k1.run_segment(s_seg, k)
     for a, b in zip(jax.tree.leaves(s_plain), jax.tree.leaves(s_seg)):
-        if k == 1:  # identical kernel sequence: bitwise
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        else:
-            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                       rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-6, atol=2e-6)
 
 
 def test_fused_flat_step_matches_jnp_3d():
