@@ -157,7 +157,14 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     if mesh is not None:
         layout = "halo" if layout in ("auto", "halo") else "3d"
     elif layout == "halo":
-        layout = "flat"  # halo without a mesh is meaningless
+        import warnings
+
+        warnings.warn(
+            "layout='halo' requires a mesh (opts={'mesh': ...}); "
+            "falling back to the single-chip 'flat' layout",
+            stacklevel=2,
+        )
+        layout = "flat"
     if layout == "auto":
         layout = "flat"
     use_pallas = _resolve_pallas(use_pallas, lv, dtype, layout, method, mesh)
