@@ -4,29 +4,42 @@ Three metrics, each best-of-N with every pass recorded (N and the raw
 times land in the JSON, so warm-cache variance is visible in the artifact):
 
 1. headline — ``demo_dot2d.m:10-17,55-60``: nt=33, nx=ny=129, tol=1e-4,
-   3 levels, inPALM, DOTmark-4stitch densities (procedural tiles when the
-   DOTmark assets are absent — the source is stamped into the result).
-2. wdot2d  — ``demo_wdot2d.m:10-17,67``: 129^3, tol=1e-3, 3 levels,
+   3 levels, inPALM, DOTmark-4stitch densities (bundled/procedural tiles
+   when the DOTmark assets are absent — the source is stamped into the
+   result).
+2. scale   — the BASELINE.json north-star class (512x512x64): 513x513x65,
+   tol=1e-4, 3 levels, inPALM, fused Pallas flat layout, device driver.
+3. wdot2d  — ``demo_wdot2d.m:10-17,67``: 129^3, tol=1e-3, 3 levels,
    love-heart barrier (analytic), weighted inPALM with the fused Pallas
    q-step kernel.
-3. scale   — the BASELINE.json north-star class (512x512x64): 513x513x65,
-   tol=1e-4, 3 levels, inPALM, fused Pallas flat layout, device driver.
-   Disable with DOTSOCP_BENCH_SCALE=0 (wdot: DOTSOCP_BENCH_WDOT=0).
+
+Timeout-proofing (round-3 postmortem: BENCH_r03.json was rc=124/empty
+because one stalled axon compile sank a single end-of-run print): each
+metric now runs in its OWN subprocess under a per-metric wall budget, and
+the orchestrator prints-and-flushes the FULL cumulative JSON line after
+EVERY metric completes (headline first). A stalled or crashed metric is
+killed by exact PID, recorded as ``<metric>_error``, and the remaining
+metrics still run. The last stdout line is therefore always the most
+complete parseable result, even if the whole process is later killed.
+
+Knobs: DOTSOCP_BENCH_SCALE=0 / DOTSOCP_BENCH_WDOT=0 skip those metrics;
+DOTSOCP_BENCH_BUDGET=<s> per-metric wall budget (default 1200);
+DOTSOCP_BENCH_DEADLINE=<s> global soft deadline (default 3000) after
+which remaining metrics are skipped rather than started.
 
 All metrics run f32 on the device-resident driver (the production path).
 On a cold compilation cache the level executables compile concurrently up
 front (opts["prewarm"]); D/E/tol/sigma are traced into the solver state,
 so the compiled chunks are shape-only and reruns hit the persistent cache.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": x, ...}
-
-vs_baseline compares against the single-host CPU float64 reference-equivalent
-run recorded in BASELINE.md (this repo's stand-in for the unpublished MATLAB
-numbers; same algorithm, same tolerance, same iteration counts).
+vs_baseline compares against the single-host CPU float64 reference-
+equivalent run recorded in BASELINE.md (this repo's stand-in for the
+unpublished MATLAB numbers; same algorithm, same tolerance, same
+iteration counts).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -38,6 +51,8 @@ NT, NX, NY = 33, 129, 129
 TOL = 1e-4
 LEVELS = 3
 SCALE_N, SCALE_NT = 513, 65
+
+_RESULT_PREFIX = "##BENCH_METRIC## "
 
 
 def _best_of(fn, repeats):
@@ -54,9 +69,6 @@ def _best_of(fn, repeats):
 
 
 def run(dtype, repeats=2, verbose=False, driver="device"):
-    from dotsocp_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
     from dotsocp_tpu.models.examples import get_example_2d
     from dotsocp_tpu.multilevel.solve import solve_dot
 
@@ -128,9 +140,100 @@ def run_scale(dtype, time_limit=1200.0, repeats=2):
     return _best_of(one, repeats)
 
 
+def _child_metric(name):
+    """Run one metric in this (child) process and print its result dict
+    on a marker line. Any exception propagates -> nonzero rc, recorded by
+    the orchestrator."""
+    from dotsocp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    fields = {}
+    if name == "headline":
+        from dotsocp_tpu.models.examples import density_source
+
+        driver = os.environ.get("DOTSOCP_BENCH_DRIVER", "device")
+        t, out, times = run(jnp.float32, driver=driver)
+        fields = {
+            "metric": "dot2d_dotmark_129x129x33_tol1e-4_3level_inpalm",
+            "value": round(t, 3),
+            "unit": "s",
+            "vs_baseline": round(BASELINE_CPU_SECONDS / t, 2),
+            "iters": sum(l["iters"] for l in out["levels"]),
+            "mass_ok": bool(out["mass_ok"]),
+            "driver": driver,
+            "repeats": len(times),
+            "times": times,
+            "density_source": density_source("DOTmark_4stitch"),
+            "device": str(jax.devices()[0]),
+        }
+    elif name == "scale":
+        ts, outs, tss = run_scale(jnp.float32)
+        fin = outs["levels"][-1]
+        fields = {
+            "scale_513x513x65_tol1e-4_s": round(ts, 3),
+            "scale_513_iters": sum(l["iters"] for l in outs["levels"]),
+            "scale_513_ms_per_iter": round(
+                1e3 * fin["time"] / max(fin["iters"], 1), 2
+            ),
+            "scale_513_mass_ok": bool(outs["mass_ok"]),
+            "scale_513_final_kkt_max": float(
+                np.max(np.asarray(outs["final_kkt"])[[0, 2, 5, 6]])
+            ),
+            "scale_513_times": tss,
+        }
+    elif name == "wdot":
+        from dotsocp_tpu.models.wdot2d import wdot_provenance
+
+        tw, outw, tws = run_wdot(jnp.float32)
+        fields = {
+            "wdot2d_129x129x129_tol1e-3_s": round(tw, 3),
+            "wdot2d_iters": sum(l["iters"] for l in outw["levels"]),
+            "wdot2d_mass_ok": bool(outw["mass_ok"]),
+            "wdot2d_times": tws,
+            "wdot2d_source": wdot_provenance("love-heart"),
+        }
+    else:
+        raise SystemExit(f"unknown metric {name!r}")
+    print(_RESULT_PREFIX + json.dumps(fields), flush=True)
+
+
+def _run_metric_subprocess(name, budget, result):
+    """Spawn ``bench.py --metric name`` under a wall budget; merge its
+    marker-line dict into ``result``. Timeouts kill the exact child PID
+    (never a pattern) and record an error field instead of sinking the
+    bench."""
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--metric", name],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            timeout=budget, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        result[f"{name}_error"] = f"timeout after {budget:.0f}s"
+        return False
+    payload = None
+    for line in proc.stdout.splitlines():
+        if line.startswith(_RESULT_PREFIX):
+            payload = line[len(_RESULT_PREFIX):]
+    if proc.returncode != 0 or payload is None:
+        tail = "; ".join(proc.stdout.strip().splitlines()[-3:])
+        result[f"{name}_error"] = (
+            f"rc={proc.returncode} after {time.time() - t0:.0f}s: {tail[-400:]}"
+        )
+        return False
+    result.update(json.loads(payload))
+    result[f"{name}_wall_s"] = round(time.time() - t0, 1)
+    return True
+
+
 def main():
-    cpu_mode = "--cpu" in sys.argv
-    if cpu_mode:
+    if "--cpu" in sys.argv:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
@@ -141,57 +244,31 @@ def main():
         t, out, _ = run(jnp.float64, repeats=1, verbose=True, driver="host")
         print(f"CPU f64 3-level solve: {t:.1f}s")
         return
+    if "--metric" in sys.argv:
+        _child_metric(sys.argv[sys.argv.index("--metric") + 1])
+        return
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    budget = float(os.environ.get("DOTSOCP_BENCH_BUDGET", "1200"))
+    deadline = time.time() + float(
+        os.environ.get("DOTSOCP_BENCH_DEADLINE", "3000")
+    )
+    metrics = [("headline", True)]
+    metrics.append(("scale", os.environ.get("DOTSOCP_BENCH_SCALE", "1") != "0"))
+    metrics.append(("wdot", os.environ.get("DOTSOCP_BENCH_WDOT", "1") != "0"))
 
-    from dotsocp_tpu.models.examples import density_source
-    from dotsocp_tpu.models.wdot2d import wdot_provenance
-
-    driver = os.environ.get("DOTSOCP_BENCH_DRIVER", "device")
-    t, out, times = run(jnp.float32, driver=driver)
-    iters = sum(l["iters"] for l in out["levels"])
-    result = {
-        "metric": "dot2d_dotmark_129x129x33_tol1e-4_3level_inpalm",
-        "value": round(t, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_CPU_SECONDS / t, 2),
-        "iters": iters,
-        "mass_ok": bool(out["mass_ok"]),
-        "driver": driver,
-        "repeats": len(times),
-        "times": times,
-        "density_source": density_source("DOTmark_4stitch"),
-        "device": str(jax.devices()[0]),
-    }
-    if os.environ.get("DOTSOCP_BENCH_WDOT", "1") != "0":
-        try:
-            tw, outw, tws = run_wdot(jnp.float32)
-            result["wdot2d_129x129x129_tol1e-3_s"] = round(tw, 3)
-            result["wdot2d_iters"] = sum(l["iters"] for l in outw["levels"])
-            result["wdot2d_mass_ok"] = bool(outw["mass_ok"])
-            result["wdot2d_times"] = tws
-            result["wdot2d_source"] = wdot_provenance("love-heart")
-        except Exception as e:  # secondary metric must not sink the bench
-            result["wdot2d_error"] = f"{type(e).__name__}: {e}"
-    if os.environ.get("DOTSOCP_BENCH_SCALE", "1") != "0":
-        try:
-            ts, outs, tss = run_scale(jnp.float32)
-            fin = outs["levels"][-1]
-            result["scale_513x513x65_tol1e-4_s"] = round(ts, 3)
-            result["scale_513_iters"] = sum(l["iters"] for l in outs["levels"])
-            result["scale_513_ms_per_iter"] = round(
-                1e3 * fin["time"] / max(fin["iters"], 1), 2
-            )
-            result["scale_513_mass_ok"] = bool(outs["mass_ok"])
-            result["scale_513_final_kkt_max"] = float(
-                np.max(np.asarray(outs["final_kkt"])[[0, 2, 5, 6]])
-            )
-            result["scale_513_times"] = tss
-        except Exception as e:
-            result["scale_513_error"] = f"{type(e).__name__}: {e}"
-    print(json.dumps(result))
+    result = {}
+    for name, enabled in metrics:
+        if not enabled:
+            continue
+        remaining = deadline - time.time()
+        if result and remaining < 60:
+            result[f"{name}_error"] = "skipped: global deadline reached"
+        else:
+            _run_metric_subprocess(name, min(budget, max(remaining, 120)),
+                                   result)
+        # Flush the full cumulative line after EVERY metric so a later
+        # stall/kill still leaves the completed metrics on stdout.
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

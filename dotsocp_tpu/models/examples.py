@@ -7,10 +7,12 @@ unit mean with an optional lower bound:
 rho <- (rho / mean(rho) + lb) / (1 + lb)  (``get_example.m:45-47``).
 
 Image-based problems (example5, DOTmark stitches, arbitrary image pairs)
-load from a resource directory: the ``DOTSOCP_RESOURCES`` env var, an
-explicit argument, or the reference checkout when present. Bundled binary
-assets are not copied into this repo; procedural fallbacks keep every
-example runnable standalone.
+load from a resource directory, resolved in order: explicit argument,
+``DOTSOCP_RESOURCES`` env var, the assets bundled with this package
+(``dotsocp_tpu/resources/dot2d`` — byte-identical copies of the reference's
+problem-data images, see ``resources/README.md``), then a reference
+checkout when present. Procedural fallbacks keep every example runnable
+even with no assets at all.
 """
 from __future__ import annotations
 
@@ -20,6 +22,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+_BUNDLED_RESOURCES = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "resources", "dot2d"
+))
 _REFERENCE_RESOURCES = "/root/reference/examples/dot2d/resources"
 
 
@@ -138,15 +143,37 @@ def gene_example_circle(nx, ny):
     return rho0, rho1
 
 
-def gene_example7(nx, ny, n_points: int = 30, seed: int = 7):
-    """Gaussian -> sum of random Dirac spikes (``gene_example7.m`` uses a
-    hard-coded instance; we use a fixed seed for reproducibility)."""
+# The reference's frozen 30-point Dirac instance (``gene_example7.m:19-21``:
+# drawn once from a disc-uniform generator and hard-coded; problem-data
+# constants, reproduced exactly so cross-implementation runs solve the SAME
+# problem).
+_EXAMPLE7_DIRAC_X = np.array([
+    0.8323, 0.5339, 0.4031, 0.6536, 0.8200, 0.4918, 0.5108, 0.6082, 0.4633,
+    0.1500, 0.7227, 0.4967, 0.5318, 0.6625, 0.4309, 0.1076, 0.3052, 0.4113,
+    0.4955, 0.4485, 0.5031, 0.7529, 0.4723, 0.3668, 0.4848, 0.5474, 0.3867,
+    0.3192, 0.0676, 0.2382,
+])
+_EXAMPLE7_DIRAC_Y = np.array([
+    0.4477, 0.6033, 0.4264, 0.5378, 0.8026, 0.7535, 0.3472, 0.2628, 0.4023,
+    0.4676, 0.4535, 0.5105, 0.5903, 0.6705, 0.5134, 0.4471, 0.6960, 0.5068,
+    0.5040, 0.5468, 0.2641, 0.1783, 0.2195, 0.3484, 0.5056, 0.3925, 0.4511,
+    0.2659, 0.4157, 0.8016,
+])
+
+
+def gene_example7(nx, ny):
+    """Center Gaussian -> the hard-coded 30-Dirac instance
+    (``gene_example7.m:19-21,28-43``). Index mapping follows the reference
+    exactly: the ROW index comes from diracX and the column from diracY
+    (``rho1(diracXIndex, diracYIndex)``), with MATLAB's half-away-from-zero
+    rounding, 1-based clamping to [1, nx] for BOTH axes (the reference
+    clamps y with min(nx, .) too)."""
     rho0 = _gaussian2d(nx, ny, 0.5, 0.5, 0.1)
-    rng = np.random.default_rng(seed)
+    hx, hy = 1.0 / (nx - 1), 1.0 / (ny - 1)
+    ix = np.clip(np.floor(_EXAMPLE7_DIRAC_X / hx + 0.5).astype(int), 1, nx)
+    iy = np.clip(np.floor(_EXAMPLE7_DIRAC_Y / hy + 0.5).astype(int), 1, nx)
     rho1 = np.zeros((ny, nx))
-    iy = rng.integers(ny // 8, 7 * ny // 8, n_points)
-    ix = rng.integers(nx // 8, 7 * nx // 8, n_points)
-    rho1[iy, ix] = 1.0
+    rho1[ix - 1, iy - 1] = 1.0
     return rho0, rho1
 
 
@@ -160,7 +187,8 @@ def _resource_dir(explicit: Optional[str] = None) -> Optional[str]:
     disk (used by reproducible fixtures)."""
     if explicit == "procedural":
         return None
-    cands = (explicit, os.environ.get("DOTSOCP_RESOURCES"), _REFERENCE_RESOURCES)
+    cands = (explicit, os.environ.get("DOTSOCP_RESOURCES"),
+             _BUNDLED_RESOURCES, _REFERENCE_RESOURCES)
     if os.environ.get("DOTSOCP_RESOURCES") == "procedural":
         cands = (explicit,)
     for cand in cands:

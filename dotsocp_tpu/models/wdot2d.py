@@ -19,6 +19,9 @@ from ..ops.staggered import Staggered
 from .examples import _grid2d, _gaussian2d, _normalize, gene_example1, \
     gene_example2, gene_example3, gene_example4, gene_example_circle
 
+_BUNDLED_RESOURCES = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "resources", "wdot2d"
+))
 _REFERENCE_RESOURCES = "/root/reference/examples/wdot2d/resources"
 
 BARRIER_WEIGHT = 1e6  # wall weight (``get_weight_by_barrier.m:8-10``; the
@@ -169,17 +172,24 @@ def _maze_procedural() -> Callable:
     return barrier
 
 
+def _wdot_resource_dirs(resources: Optional[str] = None):
+    return (resources, os.environ.get("DOTSOCP_RESOURCES"),
+            _BUNDLED_RESOURCES, _REFERENCE_RESOURCES)
+
+
 def barrier_maze14(resources: Optional[str] = None) -> Callable:
-    for cand in (resources, os.environ.get("DOTSOCP_RESOURCES"), _REFERENCE_RESOURCES):
+    """``gene_barrier_of_maze14.m:6`` loads maze-14.png specifically;
+    prefer it (sorted() puts 'maze-14.png' before 'maze.png')."""
+    for cand in _wdot_resource_dirs(resources):
         if cand and os.path.isdir(cand):
-            for name in os.listdir(cand):
+            for name in sorted(os.listdir(cand)):
                 if "maze" in name.lower():
                     return barrier_from_image(os.path.join(cand, name))
     return _maze_procedural()
 
 
 def barrier_example6(resources: Optional[str] = None) -> Callable:
-    for cand in (resources, os.environ.get("DOTSOCP_RESOURCES"), _REFERENCE_RESOURCES):
+    for cand in _wdot_resource_dirs(resources):
         if cand and os.path.isdir(cand):
             for name in sorted(os.listdir(cand)):
                 if name.lower().endswith(".png") and "maze" not in name.lower():
@@ -193,7 +203,7 @@ def wdot_provenance(problem: str = "love-heart") -> str:
     (maze14, example6) report the asset dir or 'procedural'; every other
     problem (incl. the love-heart headline) is fully analytic."""
     if problem in ("maze14", "example6"):
-        for cand in (os.environ.get("DOTSOCP_RESOURCES"), _REFERENCE_RESOURCES):
+        for cand in _wdot_resource_dirs()[1:]:
             if cand and os.path.isdir(cand):
                 return f"assets:{cand}"
         return "procedural"

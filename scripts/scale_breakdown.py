@@ -20,6 +20,7 @@ from dotsocp_tpu.algorithms.core import LevelConfig
 from dotsocp_tpu.algorithms.variants import InPALMKernels
 from dotsocp_tpu.multilevel.level import initial_scaling, initialize
 from dotsocp_tpu.models.examples import get_example_2d
+from dotsocp_tpu.utils.profiling import _sync  # device_get fence: block_until_ready does NOT block on axon (DESIGN.md sec 11)
 
 nx = ny = 513
 nt = 65
@@ -38,12 +39,12 @@ N = 20
 def timeit(name, fn, state, n=N, reps=3):
     seg = jax.jit(lambda st: jax.lax.fori_loop(0, n, lambda _, x: fn(x), st))
     r = seg(state)
-    jax.block_until_ready(r)  # compile + warm
+    _sync(r)  # compile + warm (hard fence; block_until_ready is a no-op on axon)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
         r = seg(state)
-        jax.block_until_ready(r)
+        _sync(r)
         best = min(best, (time.time() - t0) / n)
     print(f"{name:34s} {best*1e3:8.2f} ms/iter")
     return best
@@ -114,11 +115,11 @@ timeit("beta_step kernel", b_only, s)
 # KKT battery, single dispatch (runs every 3-40 iters in production)
 kkt = jax.jit(k._kkt)
 r = kkt(s)
-jax.block_until_ready(r)
+_sync(r)
 t0 = time.time()
 for _ in range(3):
     r = kkt(s)
-jax.block_until_ready(r)
+    _sync(r)
 print(f"{'KKT battery (per call)':34s} {(time.time()-t0)/3*1e3:8.2f} ms")
 
 gb = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(s)) / 1e9
@@ -130,11 +131,11 @@ if getattr(k, "segment_ca", False):
     for n in (N, 40):
         seg = jax.jit(lambda st, n=n: k.segment_impl(st, n))
         r = seg(s)
-        jax.block_until_ready(r)
+        _sync(r)
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             r = seg(s)
-            jax.block_until_ready(r)
+            _sync(r)
             best = min(best, (time.time() - t0) / n)
         print(f"{'CA-fused segment (k=%d)' % n:34s} {best*1e3:8.2f} ms/iter")
