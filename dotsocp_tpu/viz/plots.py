@@ -321,13 +321,17 @@ def export_evolution_2d(rho, path: str, num_frame: int = 6,
 
     ``path`` selects the format by extension: '.pdf'/'.png'/'.jpg' write a
     per-frame image series ``name-t=<x>.<ext>`` (``num_frame`` frames,
-    timestamps rounded to the reference's precision rule, 600 dpi); '.gif'
-    writes an animation of all nt frames over ~5 s (this environment has
-    no ffmpeg, so the reference's '.mp4'/'.avi' raise with the gif
-    fallback named). Frames use the reference's per-mode margins/fonts;
-    imshow frames are value-inverted like the reference's export path
-    (``export_evolution_2d.m:90-92``: rho2 = maxVal - rho on white)."""
+    timestamps rounded to the reference's precision rule, 600 dpi);
+    '.gif'/'.mp4'/'.avi' write an animation of all nt frames over ~5 s
+    (the reference's video profiles, ``export_evolution_2d.m:165-204``).
+    Video formats use matplotlib's FFMpegWriter when ffmpeg is installed;
+    otherwise the export degrades to a '.gif' next to the requested path
+    (warned, and the returned path list tells the truth). Frames use the
+    reference's per-mode margins/fonts; imshow frames are value-inverted
+    like the reference's export path (``export_evolution_2d.m:90-92``:
+    rho2 = maxVal - rho on white)."""
     import os
+    import warnings
 
     plt = _mpl()
     rho = np.asarray(rho)
@@ -335,11 +339,15 @@ def export_evolution_2d(rho, path: str, num_frame: int = 6,
     root, ext = os.path.splitext(path)
     ext = ext.lower()
     if ext in (".mp4", ".avi"):
-        raise ValueError(
-            "no ffmpeg in this environment: use '.gif' (pillow writer) "
-            "instead of '.mp4'/'.avi'"
-        )
-    if ext not in (".pdf", ".png", ".jpg", ".gif"):
+        from matplotlib import animation
+
+        if not animation.writers.is_available("ffmpeg"):
+            warnings.warn(
+                f"ffmpeg not available: exporting '{root}.gif' instead of "
+                f"'{path}'", stacklevel=2,
+            )
+            ext, path = ".gif", root + ".gif"
+    if ext not in (".pdf", ".png", ".jpg", ".gif", ".mp4", ".avi"):
         raise ValueError(f"unsupported export extension {ext!r}")
     d = os.path.dirname(root)
     if d:
@@ -360,8 +368,9 @@ def export_evolution_2d(rho, path: str, num_frame: int = 6,
             _draw_frame_2d(ax, rho_p[i], mode, vmax, xx, yy, with_barrier)
         _publication_style(ax, mode)
 
-    if ext == ".gif":
-        from matplotlib.animation import FuncAnimation, PillowWriter
+    if ext in (".gif", ".mp4", ".avi"):
+        from matplotlib.animation import FFMpegWriter, FuncAnimation, \
+            PillowWriter
 
         fig, ax = plt.subplots(
             figsize=(8, 8),
@@ -373,8 +382,16 @@ def export_evolution_2d(rho, path: str, num_frame: int = 6,
             render(ax, i)
             return []
 
+        fps = max(nt / 5.0, 1.0)
+        if ext == ".gif":
+            writer = PillowWriter(fps=fps)
+        else:
+            # the reference's video profiles ('MPEG-4' / 'Motion JPEG AVI',
+            # export_evolution_2d.m:169-176) -> libx264 mp4 / mjpeg avi
+            codec = "mpeg4" if ext == ".mp4" else "mjpeg"
+            writer = FFMpegWriter(fps=fps, codec=codec)
         anim = FuncAnimation(fig, update, frames=nt)
-        anim.save(path, writer=PillowWriter(fps=max(nt / 5.0, 1.0)))
+        anim.save(path, writer=writer)
         plt.close(fig)
         return [path]
 

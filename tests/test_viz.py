@@ -71,8 +71,19 @@ def test_export_evolution_2d_publication(tmp_path):
     # gif animation via the pillow writer
     (gif,) = plots.export_evolution_2d(rho, str(tmp_path / "ev.gif"), dpi=40)
     assert os.path.getsize(gif) > 0
-    with pytest.raises(ValueError, match="gif"):
-        plots.export_evolution_2d(rho, str(tmp_path / "ev.mp4"))
+    # video export: FFMpegWriter when ffmpeg exists, else a warned gif
+    # fallback at the requested stem (the returned path tells the truth)
+    from matplotlib import animation
+
+    if animation.writers.is_available("ffmpeg"):
+        (vid,) = plots.export_evolution_2d(rho, str(tmp_path / "evm.mp4"),
+                                           dpi=40)
+        assert vid.endswith(".mp4") and os.path.getsize(vid) > 0
+    else:
+        with pytest.warns(UserWarning, match="ffmpeg"):
+            (vid,) = plots.export_evolution_2d(rho, str(tmp_path / "evm.mp4"),
+                                               dpi=40)
+        assert vid.endswith("evm.gif") and os.path.getsize(vid) > 0
 
 
 def test_show_evolution_3d_renders(tmp_path):
