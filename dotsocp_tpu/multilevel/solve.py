@@ -664,6 +664,12 @@ def solve_dot(
         refine_dtype = opts.get("refine_dtype", jnp.float64)
         time_limit -= out["solve_time"]
         sigma = 10.0 ** (math.log10(sigma * out["sigma_out"]) / 2.0)
+        # tail tuning knobs (scripts/refine_tail_experiment2.py): the tail
+        # regime is plain linear-rate ADMM with balanced residuals, so the
+        # xi-driven sigma machinery leaves sigma nearly fixed; these let
+        # experiments (and expert users) move the tail's operating point.
+        sigma *= float(opts.get("refine_sigma_scale", 1.0))
+        tau = float(opts.get("refine_tau", tau))
         last_kkt = hist["kkt"][-1]
         # same-geometry warm restart: keep (phi, q, z, alpha, beta), rebuild
         # c (recover_org_var does not unscale it — the normal flow rebuilds

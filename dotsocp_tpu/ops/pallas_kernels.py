@@ -288,6 +288,69 @@ def _flat_sbwd(x, k, S):
     return jnp.pad(x, pad)[..., k:]
 
 
+def make_pallas_shift(R, S, k, forward, dtype=jnp.float32,
+                      interpret=False, ts=2048):
+    """Lane-shift of a flat (R, S) field as one Pallas pass.
+
+    Semantically identical to ``_flat_sfwd`` / ``_flat_sbwd`` (zero fill),
+    but XLA lowers those pad+slice copies through an unaligned lane
+    rotation that runs ~5x over the traffic bound (measured 513^2x65 v5e:
+    2.0 ms for two 68 MB shifted node copies — /tmp-probe round 4). Here
+    each output block assembles its window from TWO input blocks of the
+    same array (neighbor-block trick: the window offset TS-k / k is
+    static), so the rotation happens in VMEM at streaming bandwidth.
+
+    Returns ``shift(x, plane=None)``: x is (R, S), or a (C, R, S) cone
+    array with ``plane`` selecting the column — the plane is then read
+    directly out of the cone array by the block index map (no 67 MB plane
+    materialization). Requires k <= TS; callers fall back to the jnp
+    path for larger strides (3D coarse axes)."""
+    TS = min(ts, ((S + 127) // 128) * 128)
+    if k > TS:
+        return None
+    nb = (S + TS - 1) // TS
+    off = TS - k if forward else k
+
+    def kernel(a_ref, b_ref, o_ref):
+        cat = jnp.concatenate([a_ref[0], b_ref[0]], axis=-1)
+        win = jax.lax.slice_in_dim(cat, off, off + TS, axis=-1)
+        i = pl.program_id(0)
+        gl = i * TS + jax.lax.broadcasted_iota(jnp.int32, (R, TS), 1)
+        if forward:
+            win = jnp.where(gl < k, jnp.zeros((), dtype), win)
+        else:
+            win = jnp.where(gl >= S - k, jnp.zeros((), dtype), win)
+        o_ref[0] = win
+
+    def shift(x, plane=None):
+        if x.ndim == 2:
+            xv = x.reshape(1, R, x.shape[-1])
+            c = 0
+        else:
+            xv = x
+            c = int(plane)
+        if forward:
+            a_map = lambda i: (c, 0, jnp.maximum(i - 1, 0))  # noqa: E731
+            b_map = lambda i: (c, 0, i)                      # noqa: E731
+        else:
+            a_map = lambda i: (c, 0, i)                      # noqa: E731
+            b_map = lambda i: (c, 0, jnp.minimum(i + 1, nb - 1))  # noqa: E731
+        blk = (1, R, TS)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            out_shape=jax.ShapeDtypeStruct((1, R, S), dtype),
+            in_specs=[pl.BlockSpec(blk, a_map, memory_space=pltpu.VMEM),
+                      pl.BlockSpec(blk, b_map, memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(blk, lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xv, xv)
+        return out.reshape(R, S)
+
+    return shift
+
+
 def _specs(nt, C, TS, n_bspec, d):
     """Common BlockSpec builders for (nt,S)/(nt-1,S)/(C,nt-1,S) arrays."""
     node = pl.BlockSpec((nt, TS), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -328,13 +391,26 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     S = int(np.prod(geom.space))
     # VMEM budget (~16 MB/core): the q-kernel holds ~2 cone blocks
     # (C, nt-1, TS) plus ~10 cell/node blocks, double-buffered across the
-    # grid. Cap the cone block at ~1.4 MB: nt<=65 keeps TS=512 (the
-    # measured 513^2x65 configuration), nt=129 drops to TS=256 — at
-    # TS=512 its 2.6 MB blocks exceed scoped VMEM and the compile dies
-    # with a vmem-stack OOM (measured on v5e).
-    ts_cap = max(128, (1_400_000 // (4 * C * (nt - 1))) // 128 * 128)
+    # grid. Block-row BURST SIZE is the bandwidth lever on this stack
+    # (scripts/pallas_blocked_layout_probe.py, v5e: strided blocks with
+    # 2 KB rows read at 599 GB/s, 4 KB rows at ~800+): pick the largest
+    # TS the VMEM budget allows. Cone-block cap ~2.7 MB: nt<=65 runs
+    # TS=1024 (the measured 513^2x65 configuration); nt=129 drops to
+    # TS=512 — its 5.2 MB blocks exceed scoped VMEM and the compile dies
+    # with a vmem-stack OOM (measured on v5e). DOTSOCP_PALLAS_TS
+    # overrides for sweeps.
+    import os as _os
+
+    ts = int(_os.environ.get("DOTSOCP_PALLAS_TS", ts))
+    ts_cap = max(128, (2_700_000 // (4 * C * (nt - 1))) // 128 * 128)
     TS = min(ts, ts_cap, ((S + 127) // 128) * 128)
     grid = ((S + TS - 1) // TS,)
+    # The mosaic scoped-vmem default (16 MB) is a compiler knob, not the
+    # hardware ceiling; larger tiles (bigger DMA bursts) need more
+    # double-buffered block space. DOTSOCP_PALLAS_VMEM overrides (bytes).
+    _vmem_limit = int(_os.environ.get("DOTSOCP_PALLAS_VMEM", 0)) or None
+    _cparams = (pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit)
+                if _vmem_limit else None)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     node, cell, cone, scal, mask_spec = _specs(nt, C, TS, None, d)
@@ -343,12 +419,104 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     hs = [float(geom.hs(a)) for a in range(d)]
     ht = float(geom.ht)
 
+    # Lane-shift prework runs as a Pallas pass (make_pallas_shift): XLA's
+    # pad+slice lowering pays an unaligned lane rotation ~5x over the
+    # traffic bound. jnp fallback in interpret mode (parity tests) and for
+    # strides beyond the shift window (3D coarse axes).
+    _shift_cache: dict = {}
+
+    def _pshift(x, k, forward, plane=None):
+        R = x.shape[1] if plane is not None else x.shape[0]
+        key = (R, int(k), forward)
+        fn = _shift_cache.get(key, False)
+        if fn is False:
+            fn = None if interpret else make_pallas_shift(
+                R, S, int(k), forward, dtype, interpret)
+            _shift_cache[key] = fn
+        if fn is None:
+            src = x if plane is None else x[plane]
+            return (_flat_sfwd if forward else _flat_sbwd)(src, int(k), S)
+        return fn(x, plane=plane)
+
+    # ---- in-kernel shift assembly (round 4): rather than materializing
+    # shifted copies (XLA pad+slice pays an unaligned lane rotation ~5x
+    # over the traffic bound, and a standalone pallas shift pays the
+    # un-aliased-output copy pass), the consuming kernel receives the
+    # SOURCE array again under neighbor-block index maps and assembles the
+    # shifted window in VMEM (window math as in make_pallas_shift). Cost:
+    # re-reading ceil(k/TS) neighbor blocks of the source; the shifted
+    # arrays' HBM write+read+copy disappears entirely. In-place output
+    # aliases stay safe: backward shifts read blocks AHEAD of the write
+    # cursor, forward-shift sources (bns in the beta/CA kernels) are never
+    # aliased as outputs.
+    def _nblk(k, TSv):
+        return -(-int(k) // TSv)
+
+    def _nbr_specs(TSv, nbv, R, k, forward, plane=None):
+        """Neighbor BlockSpecs for the same source array (farthest block
+        first for forward shifts, nearest first for backward)."""
+        n = _nblk(k, TSv)
+        blk = (R, TSv) if plane is None else (1, R, TSv)
+        specs = []
+        js = range(n, 0, -1) if forward else range(1, n + 1)
+        for j in js:
+            if forward:
+                def mp(i, j=j, plane=plane):
+                    b = jnp.maximum(i - j, 0)
+                    return (0, b) if plane is None else (plane, 0, b)
+            else:
+                def mp(i, j=j, plane=plane, nbv=nbv):
+                    b = jnp.minimum(i + j, nbv - 1)
+                    return (0, b) if plane is None else (plane, 0, b)
+            specs.append(pl.BlockSpec(blk, mp, memory_space=pltpu.VMEM))
+        return specs
+
+    def _ld(ref):
+        v = ref[:]
+        return v[0] if v.ndim == 3 else v
+
+    def _asm(cur, nbr_refs, k, forward, TSv):
+        """Shifted window of the source whose block-i slab is ``cur``:
+        forward == _flat_sfwd semantics, backward == _flat_sbwd. Clamped
+        neighbor blocks at the edges are masked by the global-lane
+        zero-fill, so the result is bit-equal to the pad+slice shifts."""
+        k = int(k)
+        n = len(nbr_refs)
+        gi = pl.program_id(0)
+        gl = gi * TSv + jax.lax.broadcasted_iota(jnp.int32, cur.shape,
+                                                 cur.ndim - 1)
+        zero = jnp.zeros((), cur.dtype)
+        vals = [_ld(r) for r in nbr_refs]
+        if forward:
+            cat = jnp.concatenate(vals + [cur], axis=-1)
+            off = n * TSv - k
+            win = jax.lax.slice_in_dim(cat, off, off + TSv, axis=-1)
+            return jnp.where(gl < k, zero, win)
+        cat = jnp.concatenate([cur] + vals, axis=-1)
+        win = jax.lax.slice_in_dim(cat, k, k + TSv, axis=-1)
+        return jnp.where(gl >= S - k, zero, win)
+
+    def _fwd_nbr_args(srcs, TSv, nbv, R):
+        """(operands, specs) for forward-shift neighbors of per-axis node
+        sources ``srcs`` (the source array repeated per neighbor block)."""
+        ops_, specs_ = [], []
+        for a in range(d):
+            sp = _nbr_specs(TSv, nbv, R, strides[a], True)
+            specs_ += sp
+            ops_ += [srcs[a]] * len(sp)
+        return ops_, specs_
+
+    NSH = [_nblk(strides[a], TS) for a in range(d)]  # neighbor count/axis
+
     # ---------------- kernel A: z = proj_soc(bfd(q) - beta) --------------
     def z_kernel(sc_ref, q0_ref, *rest):
         b_refs = rest[:d]
-        bf_refs = rest[d:2 * d]
-        beta_ref = rest[2 * d]
-        z_ref = rest[2 * d + 1]
+        i = d
+        nb_refs = []
+        for a in range(d):
+            nb_refs.append(rest[i:i + NSH[a]]); i += NSH[a]
+        beta_ref = rest[i]
+        z_ref = rest[i + 1]
         sbf = sc_ref[0, 0]
         sd = sc_ref[0, 1]
         s = sbf * _INV_SQRT2_F
@@ -356,8 +524,8 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         cols = [(sd - sbf * q0) - beta_ref[0]]
         ci = 1
         for a in range(d):
-            f = bf_refs[a][:]
             b = b_refs[a][:]
+            f = _asm(b, nb_refs[a], strides[a], True, TS)
             for sl in (slice(0, nt - 1), slice(1, nt)):
                 cols.append(s * f[sl] - beta_ref[ci]); ci += 1
                 cols.append(s * b[sl] - beta_ref[ci]); ci += 1
@@ -370,30 +538,46 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         safe = jnp.where(nrm > 0, nrm, 1.0)
         coef = jnp.clip(0.5 * (1.0 + z0 / safe), 0.0, 1.0)
         head = jnp.maximum(z0, coef * nrm)
-        z_ref[:] = jnp.stack([head] + [coef * c for c in cols[1:]], axis=0)
+        # per-column stores: jnp.stack materializes a cone-sized scratch
+        # buffer (VMEM pressure + spills); column writes stream instead
+        z_ref[0] = head
+        for c in range(1, C):
+            z_ref[c] = coef * cols[c]
 
     def z_step(q0, bs, beta, sbf, sd):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd)
-        bfs = [_flat_sfwd(bs[a], strides[a], S) for a in range(d)]
+        nops, nspecs = _fwd_nbr_args(bs, TS, grid[0], nt)
         return pl.pallas_call(
             z_kernel,
             grid=grid,
             out_shape=jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
-            in_specs=[scal, cell] + [node] * (2 * d) + [cone],
+            in_specs=[scal, cell] + [node] * d + nspecs + [cone],
             out_specs=cone,
             interpret=interpret,
-        )(sc, q0, *bs, *bfs, beta)
+            compiler_params=_cparams,
+        )(sc, q0, *bs, *nops, beta)
 
     # ------------- kernel B: q-step + alpha multiplier -------------------
     # x = z + beta; q2 = bfd_T(x); tmp = D*grad(phi);
     # q' = (tmp + alpha + q2) * diag; alpha' = alpha + tau*(tmp - q')
+    # Backward shifts are assembled in-kernel: phi from its own neighbor
+    # blocks; the shifted (z+beta) planes as shift(z[c])+shift(beta[c])
+    # (shift is a relocation, so the sum of shifted planes is bit-equal to
+    # the shifted sum).
     def q_kernel(sc_ref, phi_ref, *rest):
         i = 0
-        phis = rest[i:i + d]; i += d
+        pnb = []
+        for a in range(d):
+            pnb.append(rest[i:i + NSH[a]]); i += NSH[a]
         z_ref = rest[i]; i += 1
         beta_ref = rest[i]; i += 1
-        zbs_refs = rest[i:i + 2 * d]; i += 2 * d
+        zbnb = []
+        for a in range(d):
+            row = []
+            for _ in range(4):  # z_lo, beta_lo, z_hi, beta_hi
+                row.append(rest[i:i + NSH[a]]); i += NSH[a]
+            zbnb.append(row)
         a0_ref = rest[i]; i += 1
         ab_refs = rest[i:i + d]; i += d
         dg0_ref = rest[i]; i += 1
@@ -429,12 +613,19 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
 
         zpad = jnp.zeros((1, phi.shape[-1]), phi.dtype)
         for a in range(d):
+            k = strides[a]
             m = mask_refs[a][:]  # (1, TS)
-            tmp_b = D * (((phis[a][:] - phi) / hs[a]) * m)
+            phis_a = _asm(phi, pnb[a], k, False, TS)
+            tmp_b = D * (((phis_a - phi) / hs[a]) * m)
             c0 = 1 + 4 * a
+            zlo, blo, zhi, bhi = zbnb[a]
+            lo_shift = (_asm(z_ref[c0], zlo, k, False, TS)
+                        + _asm(beta_ref[c0], blo, k, False, TS))
+            hi_shift = (_asm(z_ref[c0 + 2], zhi, k, False, TS)
+                        + _asm(beta_ref[c0 + 2], bhi, k, False, TS))
             # cols: [t_lo&x_lo(shifted), t_lo&x_hi, t_hi&x_lo(shifted), t_hi&x_hi]
-            lo_sum = zbs_refs[2 * a][:] + xcol(c0 + 1)
-            hi_sum = zbs_refs[2 * a + 1][:] + xcol(c0 + 3)
+            lo_sum = lo_shift + xcol(c0 + 1)
+            hi_sum = hi_shift + xcol(c0 + 3)
             acc = (jnp.concatenate([lo_sum, zpad], axis=0)
                    + jnp.concatenate([zpad, hi_sum], axis=0))
             q2_b = (s * acc) * m
@@ -448,16 +639,33 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
                 out_b[a][:] = bn
                 out_ab[a][:] = ab_refs[a][:] + tau_v * (tmp_b - bn)
 
+    def _bwd_plane_nbrs(arrs_with_planes, TSv, nbv, R):
+        """(operands, specs) for backward-shift neighbors of cone planes:
+        arrs_with_planes = [(array, plane_index), ...] in operand order."""
+        ops_, specs_ = [], []
+        for arr, c0, k in arrs_with_planes:
+            sp = _nbr_specs(TSv, nbv, R, k, False, plane=c0)
+            specs_ += sp
+            ops_ += [arr] * len(sp)
+        return ops_, specs_
+
     def q_step(phi, z, beta, a0, abs_, dg0, dgbs, D, sbf, tau_v):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(D).at[0, 1].set(sbf).at[0, 2].set(tau_v)
-        phis = [_flat_sbwd(phi, strides[a], S) for a in range(d)]
-        # pre-shifted (z+beta) for the x_lo columns of each axis
-        zbs = []
+        P = sum(NSH)
+        phi_nops = []
+        phi_nspecs = []
+        for a in range(d):
+            sp = _nbr_specs(TS, grid[0], nt, strides[a], False)
+            phi_nspecs += sp
+            phi_nops += [phi] * len(sp)
+        plane_list = []
         for a in range(d):
             c0 = 1 + 4 * a
-            zbs.append(_flat_sbwd(z[c0] + beta[c0], strides[a], S))
-            zbs.append(_flat_sbwd(z[c0 + 2] + beta[c0 + 2], strides[a], S))
+            k = strides[a]
+            plane_list += [(z, c0, k), (beta, c0, k),
+                           (z, c0 + 2, k), (beta, c0 + 2, k)]
+        pl_ops, pl_specs = _bwd_plane_nbrs(plane_list, TS, grid[0], nt - 1)
         masks2d = [m.reshape(1, S) for m in masks]
         w_args = ([weight.q0] + list(weight.bs)) if weighted else []
         w_specs = ([cell] + [node] * d) if weighted else []
@@ -466,33 +674,31 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
              jax.ShapeDtypeStruct((nt - 1, S), dtype)]
             + [jax.ShapeDtypeStruct((nt, S), dtype)] * (2 * d)
         )
-        # Alias every output onto a same-shaped input the kernel already
-        # reads (all dead after the call): un-aliased pallas outputs pay a
-        # hidden full copy pass on this stack (measured: 359 -> 792 GB/s
-        # on a 674 MB copy once aliased — scripts/pallas_alias_probe.py).
-        # q0' <- zbs[0] (cell), alpha0' <- a0, b' <- shifted-phi temps,
-        # alpha_b' <- abs. Each grid step i only touches block i of every
-        # buffer, so in-place writes cannot race the pipeline.
-        # (interpret-mode lowering rejects aliases whose final block is
-        # padded — jax returns the padded block shape; compiled TPU handles
-        # it, so aliasing is gated on the real backend)
-        aliases = {} if interpret else {4 + 3 * d: 1, 4 + d: 0}
+        # Aliases (see the round-3 discovery: un-aliased pallas outputs pay
+        # a hidden copy pass): alpha0' <- a0, alpha_b' <- abs, bns[0] <-
+        # phi (dead; backward-shift neighbors read blocks AHEAD of the
+        # write cursor, so the in-place write never races a neighbor
+        # read). q0' and bns[1:] have no dead same-shaped operand left and
+        # stay un-aliased. One buffer may back at most ONE output, even
+        # when passed as several operands.
+        base = 2 + P + 2 + 4 * P     # a0 operand index
+        aliases = {} if interpret else {base: 1, 1: 2}
         if not interpret:
             for a in range(d):
-                aliases[2 + a] = 2 + a              # phis[a] -> bns[a]
-                aliases[5 + 3 * d + a] = 2 + d + a  # abs[a] -> abns[a]
+                aliases[base + 1 + a] = 2 + d + a  # abs[a] -> abns[a]
         outs = pl.pallas_call(
             q_kernel,
             grid=grid,
             out_shape=out_shape,
-            in_specs=([scal, node] + [node] * d + [cone, cone]
-                      + [cell] * (2 * d) + [cell] + [node] * d
+            in_specs=([scal, node] + phi_nspecs + [cone, cone] + pl_specs
+                      + [cell] + [node] * d
                       + [cell] + [node] * d + [mask_spec] * d + w_specs),
             out_specs=[cell, cell] + [node] * (2 * d),
             input_output_aliases=aliases,
             interpret=interpret,
-        )(sc, phi, *phis, z, beta, *zbs, a0, *abs_, dg0, *dgbs, *masks2d,
-          *w_args)
+            compiler_params=_cparams,
+        )(sc, phi, *phi_nops, z, beta, *pl_ops, a0, *abs_, dg0, *dgbs,
+          *masks2d, *w_args)
         q0n, a0n = outs[0], outs[1]
         bns = outs[2:2 + d]
         abns = outs[2 + d:]
@@ -502,10 +708,13 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     # z2' = bfd(q'); beta' = beta + tau*(z - z2')
     def b_kernel(sc_ref, q0_ref, *rest):
         b_refs = rest[:d]
-        bf_refs = rest[d:2 * d]
-        beta_ref = rest[2 * d]
-        z_ref = rest[2 * d + 1]
-        out_ref = rest[2 * d + 2]
+        i = d
+        nb_refs = []
+        for a in range(d):
+            nb_refs.append(rest[i:i + NSH[a]]); i += NSH[a]
+        beta_ref = rest[i]
+        z_ref = rest[i + 1]
+        out_ref = rest[i + 2]
         sbf = sc_ref[0, 0]
         sd = sc_ref[0, 1]
         tau_v = sc_ref[0, 2]
@@ -513,35 +722,41 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         q0 = q0_ref[:]
         cols = [sd - sbf * q0]
         for a in range(d):
-            f = bf_refs[a][:]
             b = b_refs[a][:]
+            f = _asm(b, nb_refs[a], strides[a], True, TS)
             for sl in (slice(0, nt - 1), slice(1, nt)):
                 cols.append(s * f[sl])
                 cols.append(s * b[sl])
         cols.append(sd + sbf * q0)
-        rows = [beta_ref[c] + tau_v * (z_ref[c] - cols[c]) for c in range(C)]
-        out_ref[:] = jnp.stack(rows, axis=0)
+        for c in range(C):
+            out_ref[c] = beta_ref[c] + tau_v * (z_ref[c] - cols[c])
 
     def beta_step(beta, z, q0n, bns, sbf, sd, tau_v):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd).at[0, 2].set(tau_v)
-        bfs = [_flat_sfwd(bns[a], strides[a], S) for a in range(d)]
+        nops, nspecs = _fwd_nbr_args(bns, TS, grid[0], nt)
         # beta' writes in place into beta's buffer (dead after the call) —
         # see the aliasing note in q_step
         return pl.pallas_call(
             b_kernel,
             grid=grid,
             out_shape=jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
-            in_specs=[scal, cell] + [node] * (2 * d) + [cone, cone],
+            in_specs=[scal, cell] + [node] * d + nspecs + [cone, cone],
             out_specs=cone,
-            input_output_aliases={} if interpret else {2 + 2 * d: 0},
+            input_output_aliases=(
+                {} if interpret else {2 + d + sum(NSH): 0}),
             interpret=interpret,
-        )(sc, q0n, *bns, *bfs, beta, z)
+            compiler_params=_cparams,
+        )(sc, q0n, *bns, *nops, beta, z)
 
-    # ------- CA kernels run at half the tile size (4 cone blocks) --------
-    TS2 = min(TS, max(128, (ts_cap // 2) // 128 * 128))
+    # ------- CA kernels hold 4 cone blocks: cap their cone block at
+    # ~1.6 MB. DOTSOCP_PALLAS_TS2 overrides for sweeps. --------
+    ts2_cap = max(128, (1_650_000 // (4 * C * (nt - 1))) // 128 * 128)
+    TS2 = min(TS, max(128, ts2_cap))
+    TS2 = int(_os.environ.get("DOTSOCP_PALLAS_TS2", TS2))
     grid2 = ((S + TS2 - 1) // TS2,)
     node2, cell2, cone2, scal2, _ = _specs(nt, C, TS2, None, d)
+    NSH2 = [_nblk(strides[a], TS2) for a in range(d)]
 
     # ---------------- x-carry variants (x = z + beta) --------------------
     # Inside a segment the q-step only ever consumes z and beta through
@@ -555,9 +770,12 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     # kernel A': x = proj_soc(bfd(q) - beta) + beta (segment prologue)
     def x_kernel(sc_ref, q0_ref, *rest):
         b_refs = rest[:d]
-        bf_refs = rest[d:2 * d]
-        beta_ref = rest[2 * d]
-        x_ref = rest[2 * d + 1]
+        i = d
+        nb_refs = []
+        for a in range(d):
+            nb_refs.append(rest[i:i + NSH[a]]); i += NSH[a]
+        beta_ref = rest[i]
+        x_ref = rest[i + 1]
         sbf = sc_ref[0, 0]
         sd = sc_ref[0, 1]
         s = sbf * _INV_SQRT2_F
@@ -565,8 +783,8 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         cols = [(sd - sbf * q0) - beta_ref[0]]
         ci = 1
         for a in range(d):
-            f = bf_refs[a][:]
             b = b_refs[a][:]
+            f = _asm(b, nb_refs[a], strides[a], True, TS)
             for sl in (slice(0, nt - 1), slice(1, nt)):
                 cols.append(s * f[sl] - beta_ref[ci]); ci += 1
                 cols.append(s * b[sl] - beta_ref[ci]); ci += 1
@@ -579,30 +797,37 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         safe = jnp.where(nrm > 0, nrm, 1.0)
         coef = jnp.clip(0.5 * (1.0 + z0 / safe), 0.0, 1.0)
         head = jnp.maximum(z0, coef * nrm)
-        rows = [head + beta_ref[0]]
+        x_ref[0] = head + beta_ref[0]
         for c in range(1, C):
-            rows.append(coef * cols[c] + beta_ref[c])
-        x_ref[:] = jnp.stack(rows, axis=0)
+            x_ref[c] = coef * cols[c] + beta_ref[c]
 
     def x_step(q0, bs, beta, sbf, sd):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd)
-        bfs = [_flat_sfwd(bs[a], strides[a], S) for a in range(d)]
+        nops, nspecs = _fwd_nbr_args(bs, TS, grid[0], nt)
         return pl.pallas_call(
             x_kernel,
             grid=grid,
             out_shape=jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
-            in_specs=[scal, cell] + [node] * (2 * d) + [cone],
+            in_specs=[scal, cell] + [node] * d + nspecs + [cone],
             out_specs=cone,
             interpret=interpret,
-        )(sc, q0, *bs, *bfs, beta)
+            compiler_params=_cparams,
+        )(sc, q0, *bs, *nops, beta)
 
     # kernel B': q-step + alpha from the carried x (one cone read)
     def qx_kernel(sc_ref, phi_ref, *rest):
         i = 0
-        phis = rest[i:i + d]; i += d
+        pnb = []
+        for a in range(d):
+            pnb.append(rest[i:i + NSH[a]]); i += NSH[a]
         x_ref = rest[i]; i += 1
-        xbs_refs = rest[i:i + 2 * d]; i += 2 * d
+        xnb = []
+        for a in range(d):
+            row = []
+            for _ in range(2):  # x_lo, x_hi planes
+                row.append(rest[i:i + NSH[a]]); i += NSH[a]
+            xnb.append(row)
         a0_ref = rest[i]; i += 1
         ab_refs = rest[i:i + d]; i += d
         dg0_ref = rest[i]; i += 1
@@ -634,11 +859,13 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
 
         zpad = jnp.zeros((1, phi.shape[-1]), phi.dtype)
         for a in range(d):
+            k = strides[a]
             m = mask_refs[a][:]
-            tmp_b = D * (((phis[a][:] - phi) / hs[a]) * m)
+            phis_a = _asm(phi, pnb[a], k, False, TS)
+            tmp_b = D * (((phis_a - phi) / hs[a]) * m)
             c0 = 1 + 4 * a
-            lo_sum = xbs_refs[2 * a][:] + x_ref[c0 + 1]
-            hi_sum = xbs_refs[2 * a + 1][:] + x_ref[c0 + 3]
+            lo_sum = _asm(x_ref[c0], xnb[a][0], k, False, TS) + x_ref[c0 + 1]
+            hi_sum = _asm(x_ref[c0 + 2], xnb[a][1], k, False, TS) + x_ref[c0 + 3]
             acc = (jnp.concatenate([lo_sum, zpad], axis=0)
                    + jnp.concatenate([zpad, hi_sum], axis=0))
             q2_b = (s * acc) * m
@@ -655,12 +882,18 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     def qx_step(phi, x, a0, abs_, dg0, dgbs, D, sbf, tau_v):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(D).at[0, 1].set(sbf).at[0, 2].set(tau_v)
-        phis = [_flat_sbwd(phi, strides[a], S) for a in range(d)]
-        xbs = []
+        P = sum(NSH)
+        phi_nops, phi_nspecs = [], []
+        for a in range(d):
+            sp = _nbr_specs(TS, grid[0], nt, strides[a], False)
+            phi_nspecs += sp
+            phi_nops += [phi] * len(sp)
+        plane_list = []
         for a in range(d):
             c0 = 1 + 4 * a
-            xbs.append(_flat_sbwd(x[c0], strides[a], S))
-            xbs.append(_flat_sbwd(x[c0 + 2], strides[a], S))
+            k = strides[a]
+            plane_list += [(x, c0, k), (x, c0 + 2, k)]
+        pl_ops, pl_specs = _bwd_plane_nbrs(plane_list, TS, grid[0], nt - 1)
         masks2d = [m.reshape(1, S) for m in masks]
         w_args = ([weight.q0] + list(weight.bs)) if weighted else []
         w_specs = ([cell] + [node] * d) if weighted else []
@@ -669,25 +902,26 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
              jax.ShapeDtypeStruct((nt - 1, S), dtype)]
             + [jax.ShapeDtypeStruct((nt, S), dtype)] * (2 * d)
         )
-        # aliases (see q_step note): a0 -> alpha0', xbs[0] -> q0',
-        # phis[a] -> b', abs[a] -> alpha_b'. One fewer cone input than
-        # q_step shifts every index down by one.
-        aliases = {} if interpret else {3 + 3 * d: 1, 3 + d: 0}
+        # aliases: alpha0' <- a0, alpha_b' <- abs, bns[0] <- phi (dead;
+        # neighbor reads run ahead of the write cursor). q0' and bns[1:]
+        # stay un-aliased — a buffer may back only one output.
+        base = 2 + P + 1 + 2 * P     # a0 operand index
+        aliases = {} if interpret else {base: 1, 1: 2}
         if not interpret:
             for a in range(d):
-                aliases[2 + a] = 2 + a
-                aliases[4 + 3 * d + a] = 2 + d + a
+                aliases[base + 1 + a] = 2 + d + a
         outs = pl.pallas_call(
             qx_kernel,
             grid=grid,
             out_shape=out_shape,
-            in_specs=([scal, node] + [node] * d + [cone]
-                      + [cell] * (2 * d) + [cell] + [node] * d
+            in_specs=([scal, node] + phi_nspecs + [cone] + pl_specs
+                      + [cell] + [node] * d
                       + [cell] + [node] * d + [mask_spec] * d + w_specs),
             out_specs=[cell, cell] + [node] * (2 * d),
             input_output_aliases=aliases,
             interpret=interpret,
-        )(sc, phi, *phis, x, *xbs, a0, *abs_, dg0, *dgbs, *masks2d,
+            compiler_params=_cparams,
+        )(sc, phi, *phi_nops, x, *pl_ops, a0, *abs_, dg0, *dgbs, *masks2d,
           *w_args)
         q0n, a0n = outs[0], outs[1]
         return q0n, list(outs[2:2 + d]), a0n, list(outs[2 + d:])
@@ -697,11 +931,14 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     def make_cx_kernel(final):
         def cx_kernel(sc_ref, q0_ref, *rest):
             b_refs = rest[:d]
-            bf_refs = rest[d:2 * d]
-            beta_ref = rest[2 * d]
-            x_ref = rest[2 * d + 1]
-            out_beta = rest[2 * d + 2]
-            out_x = rest[2 * d + 3]
+            i = d
+            nb_refs = []
+            for a in range(d):
+                nb_refs.append(rest[i:i + NSH2[a]]); i += NSH2[a]
+            beta_ref = rest[i]
+            x_ref = rest[i + 1]
+            out_beta = rest[i + 2]
+            out_x = rest[i + 3]
             sbf = sc_ref[0, 0]
             sd = sc_ref[0, 1]
             tau_v = sc_ref[0, 2]
@@ -709,8 +946,8 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             q0 = q0_ref[:]
             cols = [sd - sbf * q0]
             for a in range(d):
-                f = bf_refs[a][:]
                 b = b_refs[a][:]
+                f = _asm(b, nb_refs[a], strides[a], True, TS2)
                 for sl in (slice(0, nt - 1), slice(1, nt)):
                     cols.append(s * f[sl])
                     cols.append(s * b[sl])
@@ -718,9 +955,11 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             zs = [x_ref[c] - beta_ref[c] for c in range(C)]  # stale z
             brows = [beta_ref[c] + tau_v * (zs[c] - cols[c])
                      for c in range(C)]
-            out_beta[:] = jnp.stack(brows, axis=0)
+            for c in range(C):
+                out_beta[c] = brows[c]
             if final:
-                out_x[:] = jnp.stack(zs, axis=0)  # legacy boundary z
+                for c in range(C):
+                    out_x[c] = zs[c]  # legacy boundary z
                 return
             zc = [cols[c] - brows[c] for c in range(C)]
             z0 = zc[0]
@@ -731,10 +970,9 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             safe = jnp.where(nrm > 0, nrm, 1.0)
             coef = jnp.clip(0.5 * (1.0 + z0 / safe), 0.0, 1.0)
             head = jnp.maximum(z0, coef * nrm)
-            rows = [head + brows[0]]
+            out_x[0] = head + brows[0]
             for c in range(1, C):
-                rows.append(coef * zc[c] + brows[c])
-            out_x[:] = jnp.stack(rows, axis=0)
+                out_x[c] = coef * zc[c] + brows[c]
 
         return cx_kernel
 
@@ -744,18 +982,24 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     def _cx(kern, beta, x, q0n, bns, sbf, sd, tau_v):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(sbf).at[0, 1].set(sd).at[0, 2].set(tau_v)
-        bfs = [_flat_sfwd(bns[a], strides[a], S) for a in range(d)]
+        nops, nspecs = [], []
+        for a in range(d):
+            sp = _nbr_specs(TS2, grid2[0], nt, strides[a], True)
+            nspecs += sp
+            nops += [bns[a]] * len(sp)
+        F = sum(NSH2)
         return pl.pallas_call(
             kern,
             grid=grid2,
             out_shape=[jax.ShapeDtypeStruct((C, nt - 1, S), dtype),
                        jax.ShapeDtypeStruct((C, nt - 1, S), dtype)],
-            in_specs=[scal2, cell2] + [node2] * (2 * d) + [cone2, cone2],
+            in_specs=[scal2, cell2] + [node2] * d + nspecs + [cone2, cone2],
             out_specs=[cone2, cone2],
             input_output_aliases=(
-                {} if interpret else {2 + 2 * d: 0, 3 + 2 * d: 1}),
+                {} if interpret else {2 + d + F: 0, 3 + d + F: 1}),
             interpret=interpret,
-        )(sc, q0n, *bns, *bfs, beta, x)
+            compiler_params=_cparams,
+        )(sc, q0n, *bns, *nops, beta, x)
 
     def cx_step(beta, x, q0n, bns, sbf, sd, tau_v):
         return _cx(cx_kernel_mid, beta, x, q0n, bns, sbf, sd, tau_v)

@@ -126,6 +126,28 @@ gb = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(s)) / 1e9
 print(f"state = {gb:.2f} GB; full step at 819 GB/s roofline needs "
       f"~{full*819/1e0:.0f} GB/iter equivalent traffic")
 
+# x-carry kernels standalone (st.z holds x inside segments; feeding the
+# outputs back through the state keeps the loop body non-hoistable)
+if getattr(k, "segment_ca", False):
+    from dotsocp_tpu.ops.staggered import Staggered
+
+    def qx_only(st):
+        q0n, bns, a0n, abns = f["qx_step"](
+            st.phi, st.z, st.alpha.q0, list(st.alpha.bs),
+            st.diag_q_inv.q0, list(st.diag_q_inv.bs), st.D,
+            st.E / st.D, tau)
+        return st._replace(q=Staggered(q0=q0n, bs=tuple(bns)),
+                           alpha=Staggered(q0=a0n, bs=tuple(abns)))
+
+    timeit("qx_step kernel (+shift prework)", qx_only, s)
+
+    def cx_only(st):
+        beta, xn = f["cx_step"](st.beta, st.z, st.q.q0, list(st.q.bs),
+                                st.E / st.D, st.E / st.dScale, tau)
+        return st._replace(beta=beta, z=xn)
+
+    timeit("cx_step kernel (+shift prework)", cx_only, s)
+
 # CA-fused segment (beta-step fused with next z-step): k-iteration segment
 if getattr(k, "segment_ca", False):
     for n in (N, 40):

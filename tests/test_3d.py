@@ -2,11 +2,13 @@
 dimension-generic core (cone width 2 + 4*3 = 14, 4-axis DCT, 3 face
 blocks). Verifies convergence, mass conservation, and the linear geodesic
 of two Gaussians."""
+import pytest
 import numpy as np
 
 from dotsocp_tpu.multilevel.solve import solve_dot
 
 
+@pytest.mark.slow
 def test_3d_transport_geodesic():
     n = 17
     ax = np.linspace(0, 1, n)

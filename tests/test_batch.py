@@ -1,5 +1,6 @@
 """Batched-instance driver: all instances converge, and each matches a
 single-instance solve of the same problem."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -8,6 +9,7 @@ from dotsocp_tpu.multilevel.solve import solve_dot
 from dotsocp_tpu.parallel.batch import solve_batch
 
 
+@pytest.mark.slow
 def test_batch_converges_and_matches_single():
     a, b = get_example_2d("example2", 33, 33)
     c, d = get_example_2d("example1", 33, 33)
@@ -33,6 +35,7 @@ def test_batch_converges_and_matches_single():
     assert rel < 1e-2, rel
 
 
+@pytest.mark.slow
 def test_batch_multilevel():
     a, b = get_example_2d("example2", 33, 33)
     c, d = get_example_2d("example1", 33, 33)
@@ -57,6 +60,7 @@ def test_pick_fleet_mode_decision_table():
     assert pick_fleet_mode(1, (129, 129), 33, 8) == "sequential"
 
 
+@pytest.mark.slow
 def test_solve_fleet_modes_agree():
     """sequential and lockstep fleet modes must both converge the same
     fleet; auto must select a valid mode and return the mode it ran."""

@@ -9,6 +9,7 @@ from dotsocp_tpu.models.examples import get_example_2d
 from dotsocp_tpu.multilevel.solve import solve_dot
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path):
     rho0, rho1 = get_example_2d("example2", 33, 33)
     base = {"tol": 1e-4, "maxit": 2000, "driver": "device"}

@@ -30,6 +30,7 @@ def test_device_matches_host(method):
     )
 
 
+@pytest.mark.slow
 def test_sgs_device_matches_host():
     """The on-device sGS win-count sigma machinery reproduces the host
     driver's trajectory exactly."""
@@ -48,6 +49,7 @@ def test_sgs_device_matches_host():
     np.testing.assert_allclose(hh["kkt"], hd["kkt"], rtol=1e-4, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_acc_sgs_device_matches_host():
     rho0, rho1 = get_example_2d("example2", 33, 33)
     outs = {}
@@ -64,6 +66,7 @@ def test_acc_sgs_device_matches_host():
     np.testing.assert_allclose(hh["kkt"], hd["kkt"], rtol=1e-4, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_device_multilevel():
     rho0, rho1 = get_example_2d("example1", 33, 33)
     out, _, h = solve_dot(

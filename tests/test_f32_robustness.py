@@ -20,7 +20,11 @@ EXAMPLES = ["example1", "example2", "example3", "example4", "example5",
 TOL = 1e-4
 
 
-@pytest.mark.parametrize("name", EXAMPLES)
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n == "example1" else n
+     for n in EXAMPLES],
+)
 def test_f32_converges_at_headline_tol(name):
     rho0, rho1 = get_example_2d(name, 65, 65)
     out, hml, _ = solve_dot(

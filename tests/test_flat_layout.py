@@ -152,6 +152,7 @@ def test_flat_weighted_matches_3d():
                                atol=1e-14)
 
 
+@pytest.mark.slow
 def test_solve_dot_flat_default_converges():
     """solve_dot's default layout (flat) reaches the same iteration count
     as the shaped layout on a small 2-level problem."""

@@ -29,7 +29,21 @@ def _procedural_assets(monkeypatch):
     monkeypatch.setenv("DOTSOCP_RESOURCES", "procedural")
 
 
-@pytest.mark.parametrize("name", _NAMES)
+# heavyweights (30-240 s each); the fast default set keeps one golden per
+# family small enough for per-change runs
+_SLOW_NAMES = {
+    "dot2d_example2_65x17_l2_sgsinpalm",
+    "dot2d_example2_65x17_l2_accadmm",
+    "dot2d_dotmark_65x17_l2_inpalm",
+    "wdot2d_loveheart_65x17_l2_inpalm",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_NAMES else n
+     for n in _NAMES],
+)
 def test_golden_trajectory(name):
     import sys
 

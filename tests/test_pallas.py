@@ -114,6 +114,7 @@ def test_fused_flat_step_matches_jnp(ndim):
             )
 
 
+@pytest.mark.slow
 def test_fused_flat_step_weighted_matches_jnp():
     """Weighted q-step kernel (w*(A phi + alpha) + BF^T x) / diag must track
     the jnp weighted flat path (``solver_wsocp_inPALM.m:198-222``)."""
@@ -163,6 +164,7 @@ def test_fused_flat_step_weighted_matches_jnp():
                                    rtol=2e-6, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fused_flat_step_kkt_consistent():
     """KKT residuals computed on the fused-step iterate must agree with the
     jnp-step iterate (the stopping rule sees the same numbers)."""
@@ -179,6 +181,7 @@ def test_fused_flat_step_kkt_consistent():
                                atol=1e-7)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k", [1, 4])
 def test_ca_fused_segment_matches_plain_steps(k):
     """The CA-fused x-carry segment (x-step prologue + cx_step iterations +
@@ -201,6 +204,7 @@ def test_ca_fused_segment_matches_plain_steps(k):
                                    rtol=2e-6, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fused_flat_step_matches_jnp_3d():
     """3D fused step (C = 14 cone columns, three spatial stride shifts) —
     a beyond-reference capability; the kernels are dimension-generic."""
@@ -239,3 +243,29 @@ def test_fused_flat_step_matches_jnp_3d():
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s_seg)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=3e-5, atol=3e-6)
+
+
+def test_pallas_shift_matches_pad_slice():
+    """make_pallas_shift (neighbor-block lane shift) must be bit-equal to
+    the jnp pad+slice shifts it replaces, including zero-fill edges, plane
+    extraction from cone arrays, and non-divisible S."""
+    from dotsocp_tpu.ops.pallas_kernels import (
+        _flat_sbwd, _flat_sfwd, make_pallas_shift,
+    )
+
+    rng = np.random.default_rng(3)
+    R, S = 9, 1500  # S not a multiple of the tile; forces a padded block
+    x2 = jnp.asarray(rng.standard_normal((R, S)).astype(np.float32))
+    cone = jnp.asarray(rng.standard_normal((6, R, S)).astype(np.float32))
+    for k, ts in ((1, 512), (37, 512), (510, 512), (513, 1024)):
+        for forward in (True, False):
+            fn = make_pallas_shift(R, S, k, forward, jnp.float32,
+                                   interpret=True, ts=ts)
+            ref = (_flat_sfwd if forward else _flat_sbwd)(x2, k, S)
+            np.testing.assert_array_equal(np.asarray(fn(x2)), np.asarray(ref))
+            ref_p = (_flat_sfwd if forward else _flat_sbwd)(cone[4], k, S)
+            np.testing.assert_array_equal(
+                np.asarray(fn(cone, plane=4)), np.asarray(ref_p))
+    # strides beyond the window are rejected (callers fall back to jnp)
+    assert make_pallas_shift(R, S, 600, True, jnp.float32,
+                             interpret=True, ts=512) is None

@@ -39,6 +39,7 @@ def test_factorize():
     assert np.prod(factorize(1, 3)) == 1
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     k, s = _setup()
     mesh = make_mesh(8)
@@ -65,6 +66,7 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(b[i], a, rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_t_sharded_step_matches_single_device():
     """Time-axis (long-axis) sharding: mesh (t, y, x) — SURVEY.md section 5's
     "long-context" analogue. BF couples adjacent time slabs only, so the
@@ -89,6 +91,7 @@ def test_t_sharded_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_kkt_matches():
     k, s = _setup()
     mesh = make_mesh(8)
@@ -140,6 +143,7 @@ def test_sharded_multilevel_solve_matches_trajectory():
     )
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoints():
     import __graft_entry__ as g
 
