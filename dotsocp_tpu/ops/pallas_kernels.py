@@ -391,18 +391,15 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     S = int(np.prod(geom.space))
     # VMEM budget (~16 MB/core): the q-kernel holds ~2 cone blocks
     # (C, nt-1, TS) plus ~10 cell/node blocks, double-buffered across the
-    # grid. Block-row BURST SIZE is the bandwidth lever on this stack
-    # (scripts/pallas_blocked_layout_probe.py, v5e: strided blocks with
-    # 2 KB rows read at 599 GB/s, 4 KB rows at ~800+): pick the largest
-    # TS the VMEM budget allows. Cone-block cap ~2.7 MB: nt<=65 runs
-    # TS=1024 (the measured 513^2x65 configuration); nt=129 drops to
-    # TS=512 — its 5.2 MB blocks exceed scoped VMEM and the compile dies
-    # with a vmem-stack OOM (measured on v5e). DOTSOCP_PALLAS_TS
-    # overrides for sweeps.
+    # grid. Cone-block cap ~1.4 MB: nt<=65 runs TS=512 (the measured-best
+    # 513^2x65 configuration — round-4 sweeps showed bigger tiles OOM the
+    # weighted q-kernel at nt=129 and run no faster at nt=65 once shifts
+    # are assembled in-kernel), nt=129 drops to TS=256.
+    # DOTSOCP_PALLAS_TS overrides for sweeps.
     import os as _os
 
     ts = int(_os.environ.get("DOTSOCP_PALLAS_TS", ts))
-    ts_cap = max(128, (2_700_000 // (4 * C * (nt - 1))) // 128 * 128)
+    ts_cap = max(128, (1_400_000 // (4 * C * (nt - 1))) // 128 * 128)
     TS = min(ts, ts_cap, ((S + 127) // 128) * 128)
     grid = ((S + TS - 1) // TS,)
     # The mosaic scoped-vmem default (16 MB) is a compiler knob, not the
