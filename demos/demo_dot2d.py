@@ -69,6 +69,9 @@ def main():
     print(f"Mass conservation: {'OK' if out['mass_ok'] else 'VIOLATED'}")
     check_mass_conservation(np.asarray(out["rho"]), verbose=True)
     print("Final KKT:", h["kkt"][-1])
+    from dotsocp_tpu.utils.objective import transport_cost
+    print(f"W2^2 (Benamou-Brenier energy): "
+          f"{transport_cost(out['rho'], [out['Ey'], out['Ex']]):.6f}")
     if args.plot:
         from dotsocp_tpu.viz.plots import show_evolution_2d
 

@@ -52,6 +52,9 @@ def main():
     print(f"Mass conservation: {'OK' if out['mass_ok'] else 'VIOLATED'}")
     check_mass_conservation(np.asarray(out["rho"]), verbose=True)
     print("Final KKT:", h["kkt"][-1])
+    from dotsocp_tpu.utils.objective import transport_cost
+    print(f"W2^2 (Benamou-Brenier energy): "
+          f"{transport_cost(out['rho'], list(out['E'])):.6f}")
     if args.plot:
         from dotsocp_tpu.viz.plots import show_evolution_3d
 
