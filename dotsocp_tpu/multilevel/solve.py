@@ -692,10 +692,13 @@ def solve_dot(
         )
         # the tail may run a different algorithm than the multilevel sweep
         # (opts['refine_method']). Measured (scripts/refine_tail_experiment
-        # .py, 65^2x17 f64 tails to 1e-6): acc-ADMM is NOT a shortcut —
-        # 1569 vs 1169 iters and 2x the iteration cost vs inPALM on
-        # example1; both hit the 10k cap on example2. The default stays the
-        # sweep's own method.
+        # .py / _experiment2.py, 65^2x17 f64 tails to 1e-6): acc-ADMM is
+        # NOT a shortcut at ANY restart period (100/500/2000/inf all lose
+        # to inPALM); tail iteration counts are bit-identical across a
+        # 100x refine_sigma_scale range (the xi-balancing sigma machinery
+        # re-locks); Anderson acceleration (AA-II m=5..20) gains only
+        # 8-11%. The tail runs at the problem's linear ADMM rate — the
+        # default stays the sweep's own method.
         refine_method = str(opts.get("refine_method", method))
         methods_ok = WDOT_METHODS if lv.weight is not None else DOT_METHODS
         if refine_method not in methods_ok:
