@@ -117,6 +117,11 @@ class LevelConfig:
     layout: str = "3d"
     # mesh for layout="halo" (spatial axes "y"/"x"); ignored otherwise
     mesh: Optional[object] = None
+    # f64 DCT transforms as split-f32 MXU matmuls (~3x faster than
+    # emulated-f64 matmuls at ~1e-9 relative error; ops/poisson.py
+    # _apply_axis_split). Opt-in: it perturbs f64 trajectories at the
+    # 1e-9 level, so golden f64 fixtures keep the plain path.
+    dct_split: bool = False
     # Whether the cached z2 = BFd(q) is carried in SolverState. z2 is
     # derivable from q (same op, same inputs — equal to FMA-contraction
     # noise), so carrying it costs a full z-sized HBM write + read per
@@ -140,7 +145,7 @@ class Kernels:
         self.carry_z2 = (cfg.carry_z2 if cfg.carry_z2 is not None else False)
         self.ops = make_ops(geom, dtype, cfg.layout, cfg.mesh)
         # unit-D build: the solve multiplies by the traced 1/D^2 at use time
-        self.poisson = self.ops.make_poisson(1.0)
+        self.poisson = self.ops.make_poisson(1.0, split=cfg.dct_split)
         if weight is None or not cfg.weighted:
             self.weight = None
         else:

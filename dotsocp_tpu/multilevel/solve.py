@@ -115,7 +115,7 @@ def _weight_digest(w) -> tuple:
 
 def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
                       checkpoint_path, device_kw, use_pallas, layout,
-                      mesh=None):
+                      mesh=None, dct_split=False):
     weight_key = None if lv.weight is None else _weight_digest(lv.weight)
     mesh_key = (
         None if mesh is None
@@ -133,7 +133,7 @@ def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
         weight_key, bool(o.check_prim_dual_feas), str(jnp.dtype(dtype)),
         bool(use_pallas), pallas_key, int(o.maxit), int(o.restart),
         float(o.rho), float(o.theta), bool(o.check_step_by_step),
-        checkpoint_path, layout, mesh_key,
+        checkpoint_path, layout, mesh_key, bool(dct_split),
         tuple(sorted((device_kw or {}).items())),
     )
 
@@ -145,7 +145,8 @@ def clear_solver_cache():
 def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                   driver: str = "auto", checkpoint_path=None,
                   device_kw=None, use_pallas: bool = False,
-                  reuse: bool = True, layout: str = "auto", mesh=None):
+                  reuse: bool = True, layout: str = "auto", mesh=None,
+                  dct_split: bool = False):
     """driver: 'device' runs the whole level loop inside one jitted
     while_loop (one host round-trip per ~600 iterations — the TPU-native
     fast path); 'host' uses the readable host-orchestrated driver (needed
@@ -171,7 +172,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
     if reuse:
         key = _solver_cache_key(method, lv, o, dtype, driver,
                                 checkpoint_path, device_kw, use_pallas,
-                                layout, mesh)
+                                layout, mesh, dct_split)
         cached = _SOLVER_CACHE.get(key)
         if cached is not None:
             _SOLVER_CACHE.move_to_end(key)
@@ -180,7 +181,7 @@ def _build_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
             solver.opts = o
             return solver
     solver = _make_solver(method, lv, o, dtype, driver, checkpoint_path,
-                          device_kw, use_pallas, layout, mesh)
+                          device_kw, use_pallas, layout, mesh, dct_split)
     if reuse:
         from .. import algorithms as _alg  # noqa: F401  (package anchor)
         from ..algorithms.device_driver import AccDeviceDriver, DeviceDriver
@@ -225,7 +226,7 @@ def _resolve_pallas(use_pallas, lv, dtype, layout, method, mesh=None) -> bool:
 def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
                  driver: str = "auto", checkpoint_path=None,
                  device_kw=None, use_pallas: bool = False,
-                 layout: str = "flat", mesh=None):
+                 layout: str = "flat", mesh=None, dct_split: bool = False):
     weighted = lv.weight is not None
     cfg = LevelConfig(
         geom=lv.geom,
@@ -238,6 +239,7 @@ def _make_solver(method: str, lv: LevelVar, o: SolveOptions, dtype,
         use_pallas=use_pallas,
         layout=layout,
         mesh=mesh if layout == "halo" else None,
+        dct_split=dct_split,
     )
     w = lv.weight
     use_device = driver == "device" or mesh is not None or (
@@ -682,14 +684,6 @@ def solve_dot(
         lv.c = c_new
         initial_scaling(lv, scaling, last_kkt, prev_e2)
         prev_e2 = lv.E2
-        o = SolveOptions(
-            tol=float(refine_tol), maxit=maxit, sigma=sigma, tau=tau,
-            time_limit=time_limit, scaling=scaling,
-            check_step_by_step=check_sbs, check_prim_dual_feas=check_pdf,
-            restart=int(opts.get("restart", 100)),
-            rho=float(opts.get("rho", 2.0)),
-            theta=float(opts.get("theta", 2.0)),
-        )
         # the tail may run a different algorithm than the multilevel sweep
         # (opts['refine_method']). Measured (scripts/refine_tail_experiment
         # .py / _experiment2.py, 65^2x17 f64 tails to 1e-6): acc-ADMM is
@@ -697,35 +691,79 @@ def solve_dot(
         # to inPALM); tail iteration counts are bit-identical across a
         # 100x refine_sigma_scale range (the xi-balancing sigma machinery
         # re-locks); Anderson acceleration (AA-II m=5..20) gains only
-        # 8-11%. The tail runs at the problem's linear ADMM rate — the
-        # default stays the sweep's own method.
+        # 8-11%. The tail runs at the problem's linear ADMM rate — so the
+        # speedup comes from PER-ITERATION cost instead: the f64 step is
+        # dominated by the DCT matmuls (8.1 of 9.2 ms at 129^2x33 on v5e
+        # — the MXU has no f64 path), and the split-f32 DCT
+        # (ops/poisson.py:_apply_axis_split) runs them ~3x faster at a
+        # ~3e-7 phi error, whose KKT floor is ~2e-6 (measured). Tail plan
+        # ('refine_dct_split'='auto'): split-DCT iterations down to 4e-6,
+        # then true-f64 DCT for the remainder; tolerances >= 4e-6 (e.g.
+        # the 1D reference default 1e-5) run entirely on the split path.
         refine_method = str(opts.get("refine_method", method))
         methods_ok = WDOT_METHODS if lv.weight is not None else DOT_METHODS
         if refine_method not in methods_ok:
             raise ValueError(
                 f"refine_method {refine_method!r} not in {methods_ok}")
-        solver = _build_solver(refine_method, lv, o, refine_dtype,
-                               driver=str(opts.get("driver", "auto")),
-                               device_kw=device_kw,
-                               reuse=bool(opts.get("reuse_solvers", True)),
-                               layout=str(opts.get("layout", "auto")),
-                               mesh=opts.get("mesh"))
-        hist, out = solver.solve(lv.as_dict())
-        hist["method"] = solver.name + " (f64 refine)"
-        hists.append(hist)
+        split_opt = opts.get("refine_dct_split", "auto")
+        _SPLIT_KKT_FLOOR = 4e-6
+        if split_opt == "auto":
+            # the split path wins where f64 matmuls are emulated (TPU);
+            # CPU f64 GEMM is native, so 'auto' keeps the plain tail there
+            split_opt = _jax.default_backend() == "tpu"
+        if split_opt:
+            if float(refine_tol) >= _SPLIT_KKT_FLOOR:
+                phases = [(True, float(refine_tol))]
+            else:
+                phases = [(True, _SPLIT_KKT_FLOOR), (False, float(refine_tol))]
+        else:
+            phases = [(False, float(refine_tol))]
+
+        var = lv.as_dict()
+        ref_iters = 0
+        ref_time = 0.0
+        for use_split, phase_tol in phases:
+            o = SolveOptions(
+                tol=phase_tol, maxit=maxit, sigma=sigma, tau=tau,
+                time_limit=max(time_limit, 0.0), scaling=scaling,
+                check_step_by_step=check_sbs,
+                check_prim_dual_feas=check_pdf,
+                restart=int(opts.get("restart", 100)),
+                rho=float(opts.get("rho", 2.0)),
+                theta=float(opts.get("theta", 2.0)),
+            )
+            solver = _build_solver(refine_method, lv, o, refine_dtype,
+                                   driver=str(opts.get("driver", "auto")),
+                                   device_kw=device_kw,
+                                   reuse=bool(opts.get("reuse_solvers",
+                                                       True)),
+                                   layout=str(opts.get("layout", "auto")),
+                                   mesh=opts.get("mesh"),
+                                   dct_split=use_split)
+            hist, out = solver.solve(var)
+            var = out
+            sigma = sigma * out["sigma_out"]
+            time_limit -= out["solve_time"]
+            ref_iters += out["iters"]
+            ref_time += out["solve_time"]
+            hist["method"] = solver.name + (
+                " (f64 refine, split-DCT)" if use_split else " (f64 refine)"
+            )
+            hists.append(hist)
         recover_org_var(lv, out)
         level_reports.append({
             "level": level_n,
             "geom": lv.geom,
-            "iters": out["iters"],
-            "time": out["solve_time"],
+            "iters": ref_iters,
+            "time": ref_time,
             "method": hist["method"],
             "refine": True,
         })
         if verbose:
             print(
-                f"f64 refine (tol={refine_tol:g}): {out['iters']} iters, "
-                f"{out['solve_time']:.2f}s, final KKT "
+                f"f64 refine (tol={refine_tol:g}, "
+                f"{len(phases)} phase(s)): {ref_iters} iters, "
+                f"{ref_time:.2f}s, final KKT "
                 f"max={np.max(hist['kkt'][-1][[0, 2, 5]]):.2e}"
             )
 

@@ -82,8 +82,9 @@ class Ops3D:
     def oper_q_diag(self, D, E, weight: Optional[Staggered]):
         return oper_q_diag3(self.geom, D, E, weight, dtype=self.dtype)
 
-    def make_poisson(self, D):
-        return make_dct_poisson(self.geom, D=D, dtype=self.dtype)
+    def make_poisson(self, D, split: bool = False):
+        return make_dct_poisson(self.geom, D=D, dtype=self.dtype,
+                                split=split)
 
     def face_interp(self, x, a: int):
         """Average a node-positioned field onto the faces of axis a."""
@@ -242,8 +243,9 @@ class OpsFlat:
             )
         return base + weight * weight
 
-    def make_poisson(self, D):
-        inner = make_dct_poisson(self.geom, D=D, dtype=self.dtype)
+    def make_poisson(self, D, split: bool = False):
+        inner = make_dct_poisson(self.geom, D=D, dtype=self.dtype,
+                                 split=split)
         return _FlatPoisson(inner, self.geom)
 
     def face_interp(self, x, a: int):

@@ -338,8 +338,9 @@ class OpsHalo:
             )
         return base + weight * weight
 
-    def make_poisson(self, D):
-        inner = make_dct_poisson(self.geom, D=D, dtype=self.dtype)
+    def make_poisson(self, D, split: bool = False):
+        inner = make_dct_poisson(self.geom, D=D, dtype=self.dtype,
+                                 split=split)
         return _HaloPoisson(inner, self)
 
     def face_interp(self, x, a: int):

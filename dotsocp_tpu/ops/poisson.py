@@ -51,6 +51,7 @@ class DctPoisson(NamedTuple):
 
     mats: Tuple[jax.Array, ...]  # one orthonormal DCT matrix per array axis
     inv_kernel: jax.Array        # 1 / (D^2 * kernel), phi-shaped
+    split: bool = False          # f64 transforms as split-f32 MXU matmuls
 
     def solve(self, rhs: jax.Array, scale=None) -> jax.Array:
         """phi = idctn(dctn(rhs) * inv_kernel) (``oper_poisson3dim.m:4``).
@@ -58,13 +59,14 @@ class DctPoisson(NamedTuple):
         ``scale`` multiplies the inverse kernel at use time — pass 1/D^2
         against a unit-D build so the traced level constant D never bakes
         into the executable (it fuses into the existing kernel multiply)."""
+        apply = _apply_axis_split if self.split else _apply_axis
         y = rhs
         for ax, C in enumerate(self.mats):
-            y = _apply_axis(C, y, ax)
+            y = apply(C, y, ax)
         inv_k = self.inv_kernel if scale is None else self.inv_kernel * scale
         y = y * inv_k
         for ax, C in enumerate(self.mats):
-            y = _apply_axis(C.T, y, ax)
+            y = apply(C.T, y, ax)
         return y
 
 
@@ -89,7 +91,7 @@ def _apply_axis(M: jax.Array, x: jax.Array, axis: int) -> jax.Array:
             M, x.reshape(shape[0], -1), (((1,), (0,)), ((), ())),
             precision=prec,
         )
-        return y.reshape(shape)
+        return y.reshape((M.shape[0],) + shape[1:])
     # middle axis: the contraction needs a relayout either way; the
     # tensordot+moveaxis form compiles well (a reshape-free dot_general
     # variant sent the 513^2 XLA compile into the weeds — do not revisit)
@@ -97,7 +99,46 @@ def _apply_axis(M: jax.Array, x: jax.Array, axis: int) -> jax.Array:
     return jnp.moveaxis(y, 0, axis)
 
 
-def make_dct_poisson(geom: Geometry, D=1.0, epsilon=None, dtype=jnp.float32) -> DctPoisson:
+def _apply_axis_split(M: jax.Array, x: jax.Array, axis: int,
+                      chunk: int = 128) -> jax.Array:
+    """f64 contraction executed as split-f32 MXU matmuls.
+
+    The MXU has no f64 path; XLA's emulation makes an f64 DCT solve ~8.4x
+    the f32 one (measured 8.1 vs 0.96 ms at 129^2x33 — the whole cost of
+    the f64 refine tail). Double-word decomposition M = Mh + Ml,
+    x = xh + xl (f32 halves) gives
+
+        M @ x ~= (Mh @ xh) + (Mh @ xl + Ml @ xh)        [f64 accumulation]
+
+    The correction terms are ~2^-24 relative, so their f32 rounding is
+    ~2^-48. The dominant term's own f32 accumulation error (~sqrt(n) ulp)
+    is cut by chunking the contraction axis into ``chunk``-wide partial
+    matmuls accumulated in f64: relative error ~sqrt(chunk) * 2^-24 ~
+    7e-7 -> measured phi solve agrees with the true f64 solve to ~1e-9
+    relative (tests/test_ops.py::test_split_dct_precision). Cost ~3x the
+    f32 solve, i.e. ~2.5-3x faster than emulated f64.
+    """
+    if x.dtype not in (jnp.float64,):
+        return _apply_axis(M, x, axis)
+    f32 = jnp.float32
+    Mh = M.astype(f32)
+    Ml = (M - Mh.astype(M.dtype)).astype(f32)
+    xh = x.astype(f32)
+    xl = (x - xh.astype(x.dtype)).astype(f32)
+    # correction terms (unchunked f32 is plenty for ~2^-24-sized terms)
+    y = (_apply_axis(Mh, xl, axis).astype(x.dtype)
+         + _apply_axis(Ml, xh, axis).astype(x.dtype))
+    n = M.shape[1]
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        Mc = jax.lax.slice_in_dim(Mh, c0, c1, axis=1)
+        xc = jax.lax.slice_in_dim(xh, c0, c1, axis=axis)
+        y = y + _apply_axis(Mc, xc, axis).astype(x.dtype)
+    return y
+
+
+def make_dct_poisson(geom: Geometry, D=1.0, epsilon=None, dtype=jnp.float32,
+                     split: bool = False) -> DctPoisson:
     """Build the solver for  D^2 * (A^T A + epsilon I) phi = rhs.
 
     epsilon=None pins the zero mode's kernel entry to 1 (pure Neumann
@@ -117,4 +158,4 @@ def make_dct_poisson(geom: Geometry, D=1.0, epsilon=None, dtype=jnp.float32) -> 
         kernel = kernel + epsilon
     inv_kernel = jnp.asarray(1.0 / (float(D) ** 2 * kernel), dtype=dtype)
     mats = tuple(dct_matrix(n, dtype) for n in ns)
-    return DctPoisson(mats=mats, inv_kernel=inv_kernel)
+    return DctPoisson(mats=mats, inv_kernel=inv_kernel, split=bool(split))

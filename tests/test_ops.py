@@ -180,3 +180,39 @@ def test_flat_roundtrip(rng):
     assert np.allclose(np.asarray(back.q0), np.asarray(st.q0))
     for a in range(2):
         assert np.allclose(np.asarray(back.bs[a]), np.asarray(st.bs[a]))
+
+
+def test_split_dct_precision():
+    """Split-f32 DCT transform (``_apply_axis_split``): f64 contraction as
+    double-word f32 matmuls with chunked f64 accumulation. Accuracy is set
+    by the f32 accumulation within a chunk (~sqrt(chunk) ulp), so the win
+    over plain f32 (~sqrt(n) ulp) shows on long axes: measured at n=513,
+    chunk=128: ~3e-7 vs ~7e-7 relative (2.5x; the gap widens on TPU where plain f32 matmuls are bf16-pass approximations). The refine tail builds on this
+    with a measured ~4e-6 KKT floor (multilevel/solve.py refine phases)."""
+    import jax
+
+    from dotsocp_tpu.ops.poisson import (
+        _apply_axis, _apply_axis_split, dct_matrix,
+    )
+
+    n = 513
+    rng = np.random.default_rng(5)
+    M = dct_matrix(n, jnp.float64)
+    x = jnp.asarray(rng.standard_normal((n, 64)))
+    ref = np.asarray(_apply_axis(M, x, 0))  # true f64 on CPU
+    got = np.asarray(_apply_axis_split(M, x, 0))
+    f32 = np.asarray(
+        _apply_axis(M.astype(jnp.float32), x.astype(jnp.float32), 0)
+    )
+    scale = np.abs(ref).max()
+    err_split = np.abs(got - ref).max() / scale
+    err_f32 = np.abs(f32 - ref).max() / scale
+    assert err_split < 5e-7, err_split
+    assert err_split < err_f32 / 2, (err_split, err_f32)
+    # every contraction position (incl. middle axis + non-square chunks)
+    x3 = jnp.asarray(rng.standard_normal((5, n, 7)))
+    for ax in (0, 1, 2):
+        Ma = dct_matrix(x3.shape[ax], jnp.float64)
+        r = np.asarray(_apply_axis(Ma, x3, ax))
+        g = np.asarray(_apply_axis_split(Ma, x3, ax))
+        np.testing.assert_allclose(g, r, rtol=0, atol=2e-6 * np.abs(r).max())

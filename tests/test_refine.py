@@ -77,3 +77,24 @@ def test_refine_method_invalid():
              "refine_method": "nonsense", "reuse_solvers": False},
             "inPALM", dtype=jnp.float32, verbose=False,
         )
+
+
+def test_refine_split_dct_two_phase():
+    """refine_dct_split=True runs the tail on split-f32 DCT matmuls down
+    to the path's ~4e-6 KKT floor, then true-f64 DCT to the target
+    (two phases below the floor; measured on v5e at 129^2x33: tail wall
+    2.3x faster at 1e-6, 3.6x at 1e-5). 'auto' enables this on TPU only —
+    CPU f64 GEMM is native, so this test forces the flag."""
+    rho0, rho1 = _problem(17, seed=2)
+    out, hml, h = solve_dot(
+        rho0, rho1, 5, 1,
+        {"tol": 1e-4, "maxit": 6000, "refine_tol": 1e-6,
+         "refine_dct_split": True, "reuse_solvers": False},
+        "inPALM", dtype=jnp.float32, verbose=False,
+    )
+    k = h["kkt"][-1]
+    assert max(k[i] for i in (0, 2, 5, 6)) < 1e-6
+    assert out["mass_ok"]
+    assert "split-DCT" in hml["method"] or "refine" in hml["method"]
+    # the combined report counts both phases
+    assert out["levels"][-1].get("refine") is True
