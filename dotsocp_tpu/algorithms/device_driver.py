@@ -406,6 +406,15 @@ class DeviceDriver:
                 ls, meta = load_pytree(self.checkpoint_path, ls)
             except ValueError:
                 pass  # stale checkpoint from another level/config: ignore
+        # Force-materialize the freshly-prepped loop state BEFORE the
+        # first chunk: on the axon tunnel a big while_loop dispatch with
+        # lazy inputs runs pathologically slowly (30-160 s measured at
+        # 513^2 vs ~2 s after the touch — utils/device.py). The touch
+        # drains the prep pipeline, which would have to happen anyway, so
+        # solve_time honestly starts after it.
+        from ..utils.device import force_materialize
+
+        force_materialize(ls)
         t0 = time.monotonic()
         chunks = 0
         # (iteration, elapsed) at chunk boundaries, for history timestamps

@@ -239,6 +239,11 @@ class SegmentSolver:
         use_feas_org = False
         tol_feas_org = 5.0 * opts.tol
         stop_idx = [0, 2, 5, 6] if opts.check_prim_dual_feas else [0, 2, 5]
+        # drain the prep pipeline before the first timed dispatch (axon
+        # lazy-input pathology — see utils/device.force_materialize)
+        from ..utils.device import force_materialize
+
+        force_materialize(state)
         t0 = time.monotonic()
 
         while self._it < opts.maxit:
