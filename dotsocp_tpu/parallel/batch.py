@@ -170,6 +170,20 @@ class BatchedDeviceDriver:
             s = _tree_where(ls.done, ls.s, s_new)  # freeze converged
             return ls._replace(s=s, it=ls.it + 1)
 
+        # ``done`` only changes at check points, so freezing once per
+        # segment is trajectory-identical to the per-iteration freeze —
+        # and lets the batch ride the CA-fused x-carry segments (one
+        # state-sized select per segment instead of per iteration)
+        vseg = (jax.vmap(k.segment_impl, in_axes=(0, None))
+                if getattr(k, "segment_ca", False) else None)
+
+        def run_to(ls: BatchLoopState, n) -> BatchLoopState:
+            if vseg is None:
+                return jax.lax.fori_loop(0, n, one_iter, ls)
+            s_new = vseg(ls.s, n)
+            s = _tree_where(ls.done, ls.s, s_new)
+            return ls._replace(s=s, it=ls.it + n)
+
         def body(carry):
             """Event-driven segment: the KKT cadence is data-independent
             (shared across instances), so the body runs an event-free
@@ -181,8 +195,7 @@ class BatchedDeviceDriver:
                 _next_check_it(ls.it, ls.last_sigma_it),
                 jnp.minimum(it_end, maxit),
             )
-            ls = jax.lax.fori_loop(0, jnp.maximum(stop - ls.it, 0),
-                                   one_iter, ls)
+            ls = run_to(ls, jnp.maximum(stop - ls.it, 0))
             at_check = ((ls.it - ls.last_sigma_it) >= _cadence_gap(ls.it)) | (
                 ls.it >= maxit
             )
@@ -298,9 +311,14 @@ def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
                 )
             initial_scaling(lv, scaling=o.scaling)
             if kernels is None:
+                from ..multilevel.solve import _resolve_pallas
+
+                layout = str(opts.get("layout", "flat"))
+                up = _resolve_pallas(opts.get("use_pallas", "auto"), lv,
+                                     dtype, layout, method, mesh)
                 cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=o.tau,
-                                  dtype=dtype,
-                                  layout=str(opts.get("layout", "flat")))
+                                  dtype=dtype, layout=layout,
+                                  use_pallas=up)
                 kernels = kcls(cfg)
             states.append(kernels.prep(lv.as_dict(), float(sigma_b[b])))
             lvs.append(lv)

@@ -85,3 +85,32 @@ def test_solve_fleet_modes_agree():
         np.asarray(outs["sequential"]["rho"]),
         np.asarray(outs["lockstep"]["rho"]), atol=1e-1,
     )
+
+
+@pytest.mark.slow
+def test_batch_ca_segments_match_plain():
+    """The batched driver rides the CA-fused x-carry segments when the
+    fused kernels are active (one freeze-select per segment instead of
+    per iteration — trajectory-identical because ``done`` only changes at
+    check points). Force use_pallas (interpret mode on CPU) and compare
+    against the plain-step batch."""
+    a, b = get_example_2d("example2", 33, 33)
+    c, d = get_example_2d("example1", 33, 33)
+    r0, r1 = np.stack([a, c]), np.stack([b, d])
+    outs = {}
+    for up in (False, True):
+        outs[up] = solve_batch(
+            r0, r1, 9, {"tol": 1e-3, "maxit": 300, "use_pallas": up},
+            "inPALM", dtype=jnp.float32, verbose=False,
+        )
+    np.testing.assert_array_equal(outs[True]["iters"], outs[False]["iters"])
+    np.testing.assert_allclose(
+        np.asarray(outs[True]["kkt"]), np.asarray(outs[False]["kkt"]),
+        rtol=2e-4, atol=1e-7,
+    )
+    # pallas vs XLA f32 arithmetic drifts ~1e-3 over a full solve; the
+    # trajectory decisions (iters) are exactly equal above
+    np.testing.assert_allclose(
+        np.asarray(outs[True]["rho"]), np.asarray(outs[False]["rho"]),
+        rtol=5e-3, atol=1e-4,
+    )
