@@ -706,16 +706,20 @@ def solve_dot(
             raise ValueError(
                 f"refine_method {refine_method!r} not in {methods_ok}")
         split_opt = opts.get("refine_dct_split", "auto")
-        _SPLIT_KKT_FLOOR = 4e-6
+        # The split path's KKT floor scales with the longest transform
+        # axis (the phi noise is amplified by the gradient): measured
+        # stalls at 2.1e-6 (n=65) and 1.9e-5 (n=1025) -> floor ~2e-8*n;
+        # the phase threshold doubles it for safety margin.
+        _split_floor = max(4e-6, 4e-8 * max((lv.geom.nt,) + lv.geom.space))
         if split_opt == "auto":
             # the split path wins where f64 matmuls are emulated (TPU);
             # CPU f64 GEMM is native, so 'auto' keeps the plain tail there
             split_opt = _jax.default_backend() == "tpu"
         if split_opt:
-            if float(refine_tol) >= _SPLIT_KKT_FLOOR:
+            if float(refine_tol) >= _split_floor:
                 phases = [(True, float(refine_tol))]
             else:
-                phases = [(True, _SPLIT_KKT_FLOOR), (False, float(refine_tol))]
+                phases = [(True, _split_floor), (False, float(refine_tol))]
         else:
             phases = [(False, float(refine_tol))]
 
