@@ -85,6 +85,7 @@ def test_halo_sgs_step_collective_bytes(halo_setup):
     )
 
 
+@pytest.mark.slow
 def test_gspmd_vs_halo_ratio(halo_setup):
     """The halo engine must keep a large margin over the GSPMD layout (the
     reason it is the default mesh layout)."""

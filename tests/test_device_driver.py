@@ -8,7 +8,11 @@ from dotsocp_tpu.models.examples import get_example_2d
 from dotsocp_tpu.multilevel.solve import solve_dot
 
 
-@pytest.mark.parametrize("method", ["inPALM", "PALM", "acc-ADMM"])
+@pytest.mark.parametrize("method", [
+    "inPALM",
+    pytest.param("PALM", marks=pytest.mark.slow),
+    pytest.param("acc-ADMM", marks=pytest.mark.slow),
+])
 def test_device_matches_host(method):
     rho0, rho1 = get_example_2d("example2", 33, 33)
     outs = {}

@@ -97,6 +97,7 @@ def test_flat_ops_match_shaped(space):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kcls", [InPALMKernels, PALMKernels, AccADMMKernels])
 def test_flat_kernels_trajectory_matches_3d(kcls):
     rho0, rho1 = _rand_problem((17, 17))

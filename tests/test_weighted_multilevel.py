@@ -19,6 +19,7 @@ def problem():
     return rho0, rho1, nt, weight, barrier, mask
 
 
+@pytest.mark.slow
 def test_weighted_two_level_host_device_parity(problem):
     rho0, rho1, nt, weight, barrier, mask = problem
     results = {}
