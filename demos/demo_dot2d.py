@@ -37,6 +37,10 @@ def main():
                     help="force the CPU backend (the axon TPU plugin "
                          "overrides JAX_PLATFORMS, so use this flag)")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--refine-tol", type=float, default=None,
+                    help="mixed precision: f32 multilevel + f64 tail to "
+                         "this KKT tolerance (split-f32 DCT phases on "
+                         "TPU; enables x64)")
     ap.add_argument("--export", default=None,
                     help="publication export: .pdf/.png/.jpg frame series or .gif")
     ap.add_argument("--plot", default=None, help="save evolution plot to path")
@@ -48,7 +52,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.f64:
+    if args.f64 or args.refine_tol is not None:
         jax.config.update("jax_enable_x64", True)
 
     from dotsocp_tpu.models.examples import get_example_2d, get_example_from_images
@@ -63,7 +67,9 @@ def main():
         rho0, rho1 = get_example_2d(args.problem, args.nx, ny)
     out, hml, h = solve_dot(
         rho0, rho1, args.nt, args.levels,
-        {"tol": args.tol, "maxit": args.maxit}, args.method,
+        {"tol": args.tol, "maxit": args.maxit,
+         **({"refine_tol": args.refine_tol}
+            if args.refine_tol is not None else {})}, args.method,
     )
     print("=" * 64)
     print(f"Mass conservation: {'OK' if out['mass_ok'] else 'VIOLATED'}")
