@@ -481,6 +481,26 @@ def solve_dot(
         # NaN tripwire (the in-place-MEX analogue of sanitizers the
         # reference lacks; SURVEY.md section 5)
         jax.config.update("jax_debug_nans", True)
+    trace_dir = opts.get("trace_dir")
+    if trace_dir:
+        # jax.profiler trace of the whole solve (SURVEY.md section 5's
+        # tracing mandate beyond the per-phase tables): view with
+        # tensorboard/xprof. Started here and stopped in the finally
+        # below so partial solves still flush a usable trace.
+        jax.profiler.start_trace(str(trace_dir))
+    try:
+        return _solve_dot_impl(rho0, rho1, nt, level_n, opts, method,
+                               weight=weight, barrier=barrier, dtype=dtype,
+                               verbose=verbose)
+    finally:
+        if trace_dir:
+            jax.profiler.stop_trace()
+
+
+def _solve_dot_impl(rho0, rho1, nt, level_n, opts, method, weight=None,
+                    barrier=None, dtype=None, verbose=True):
+    weighted = weight is not None
+    sgs_method = _is_sgs(method)
     if dtype == jnp.float32 and float(opts.get("tol", 1e-4)) < 5e-5 and verbose:
         print(
             "WARNING: float32 stalls around KKT ~1e-4; tolerances below "
