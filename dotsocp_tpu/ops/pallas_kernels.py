@@ -295,7 +295,8 @@ def make_pallas_shift(R, S, k, forward, dtype=jnp.float32,
     Semantically identical to ``_flat_sfwd`` / ``_flat_sbwd`` (zero fill),
     but XLA lowers those pad+slice copies through an unaligned lane
     rotation that runs ~5x over the traffic bound (measured 513^2x65 v5e:
-    2.0 ms for two 68 MB shifted node copies — /tmp-probe round 4). Here
+    2.0 ms for two 68 MB shifted node copies; see
+    scripts/pallas_compute_vs_traffic_probe.py). Here
     each output block assembles its window from TWO input blocks of the
     same array (neighbor-block trick: the window offset TS-k / k is
     static), so the rotation happens in VMEM at streaming bandwidth.
