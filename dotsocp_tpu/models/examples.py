@@ -166,11 +166,15 @@ def gene_example7(nx, ny):
     (``gene_example7.m:19-21,28-43``). Index mapping follows the reference
     exactly: the ROW index comes from diracX and the column from diracY
     (``rho1(diracXIndex, diracYIndex)``), with MATLAB's half-away-from-zero
-    rounding, 1-based clamping to [1, nx] for BOTH axes (the reference
-    clamps y with min(nx, .) too)."""
+    rounding and 1-based clamping. Deviation from the reference's conflated
+    clamp (``gene_example7.m:37-39`` clamps BOTH axes with min(nx, .), and
+    MATLAB silently grows the array on an out-of-range row write): the row
+    index is clamped to its own axis [1, ny], so non-square grids with
+    nx > ny place edge Diracs on the boundary instead of erroring. For
+    square grids (every reference run) the results are identical."""
     rho0 = _gaussian2d(nx, ny, 0.5, 0.5, 0.1)
     hx, hy = 1.0 / (nx - 1), 1.0 / (ny - 1)
-    ix = np.clip(np.floor(_EXAMPLE7_DIRAC_X / hx + 0.5).astype(int), 1, nx)
+    ix = np.clip(np.floor(_EXAMPLE7_DIRAC_X / hx + 0.5).astype(int), 1, ny)
     iy = np.clip(np.floor(_EXAMPLE7_DIRAC_Y / hy + 0.5).astype(int), 1, nx)
     rho1 = np.zeros((ny, nx))
     rho1[ix - 1, iy - 1] = 1.0

@@ -128,6 +128,16 @@ def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
     # D-baking exception is the Pallas sGS sweep (the fused Pallas step of
     # the inPALM family takes D as a traced scalar input).
     pallas_key = (float(lv.D),) if (use_pallas and _is_sgs(method)) else None
+    if use_pallas:
+        # The tile-geometry env knobs are read at kernel-BUILD time
+        # (ops/pallas_kernels.py); fold them into the key so an in-process
+        # sweep that changes them never reuses a stale cached solver.
+        import os as _os
+
+        pallas_key = (pallas_key,
+                      _os.environ.get("DOTSOCP_PALLAS_TS"),
+                      _os.environ.get("DOTSOCP_PALLAS_TS2"),
+                      _os.environ.get("DOTSOCP_PALLAS_VMEM"))
     return (
         method, driver, lv.geom, float(o.tau),
         weight_key, bool(o.check_prim_dual_feas), str(jnp.dtype(dtype)),

@@ -305,7 +305,13 @@ def make_pallas_shift(R, S, k, forward, dtype=jnp.float32,
     array with ``plane`` selecting the column — the plane is then read
     directly out of the cone array by the block index map (no 67 MB plane
     materialization). Requires k <= TS; callers fall back to the jnp
-    path for larger strides (3D coarse axes)."""
+    path for larger strides (3D coarse axes).
+
+    Since the round-4 in-kernel shift assembly (``_asm``/``_nbr_specs`` in
+    ``make_fused_flat_step``) the production step no longer materializes
+    shifted copies at all; this standalone kernel is kept as the measured
+    exemplar of the neighbor-block trick for tests and probe scripts
+    (tests/test_pallas.py, scripts/pallas_*_probe.py)."""
     TS = min(ts, ((S + 127) // 128) * 128)
     if k > TS:
         return None
@@ -416,25 +422,6 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     # pallas path stays numerically identical per op (f32 parity tests)
     hs = [float(geom.hs(a)) for a in range(d)]
     ht = float(geom.ht)
-
-    # Lane-shift prework runs as a Pallas pass (make_pallas_shift): XLA's
-    # pad+slice lowering pays an unaligned lane rotation ~5x over the
-    # traffic bound. jnp fallback in interpret mode (parity tests) and for
-    # strides beyond the shift window (3D coarse axes).
-    _shift_cache: dict = {}
-
-    def _pshift(x, k, forward, plane=None):
-        R = x.shape[1] if plane is not None else x.shape[0]
-        key = (R, int(k), forward)
-        fn = _shift_cache.get(key, False)
-        if fn is False:
-            fn = None if interpret else make_pallas_shift(
-                R, S, int(k), forward, dtype, interpret)
-            _shift_cache[key] = fn
-        if fn is None:
-            src = x if plane is None else x[plane]
-            return (_flat_sfwd if forward else _flat_sbwd)(src, int(k), S)
-        return fn(x, plane=plane)
 
     # ---- in-kernel shift assembly (round 4): rather than materializing
     # shifted copies (XLA pad+slice pays an unaligned lane rotation ~5x
@@ -673,14 +660,15 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             + [jax.ShapeDtypeStruct((nt, S), dtype)] * (2 * d)
         )
         # Aliases (see the round-3 discovery: un-aliased pallas outputs pay
-        # a hidden copy pass): alpha0' <- a0, alpha_b' <- abs, bns[0] <-
-        # phi (dead; backward-shift neighbors read blocks AHEAD of the
-        # write cursor, so the in-place write never races a neighbor
-        # read). q0' and bns[1:] have no dead same-shaped operand left and
-        # stay un-aliased. One buffer may back at most ONE output, even
-        # when passed as several operands.
+        # a hidden copy pass): alpha0' <- a0, alpha_b' <- abs. phi is LIVE
+        # after this call (carried in the state, read by the KKT battery —
+        # core.py:242,346), so aliasing bns[0] onto it would force XLA to
+        # copy-insert (voiding the win) or corrupt state.phi in place;
+        # q0' and bns[0:] have no dead same-shaped operand and stay
+        # un-aliased. One buffer may back at most ONE output, even when
+        # passed as several operands.
         base = 2 + P + 2 + 4 * P     # a0 operand index
-        aliases = {} if interpret else {base: 1, 1: 2}
+        aliases = {} if interpret else {base: 1}
         if not interpret:
             for a in range(d):
                 aliases[base + 1 + a] = 2 + d + a  # abs[a] -> abns[a]
@@ -900,11 +888,11 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
              jax.ShapeDtypeStruct((nt - 1, S), dtype)]
             + [jax.ShapeDtypeStruct((nt, S), dtype)] * (2 * d)
         )
-        # aliases: alpha0' <- a0, alpha_b' <- abs, bns[0] <- phi (dead;
-        # neighbor reads run ahead of the write cursor). q0' and bns[1:]
-        # stay un-aliased — a buffer may back only one output.
+        # aliases: alpha0' <- a0, alpha_b' <- abs. phi is LIVE after this
+        # call (state carry + KKT reads, core.py:282,346) — see the q_step
+        # note; q0' and bns stay un-aliased.
         base = 2 + P + 1 + 2 * P     # a0 operand index
-        aliases = {} if interpret else {base: 1, 1: 2}
+        aliases = {} if interpret else {base: 1}
         if not interpret:
             for a in range(d):
                 aliases[base + 1 + a] = 2 + d + a

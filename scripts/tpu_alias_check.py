@@ -50,6 +50,15 @@ def compare(nx, ny, nt, weighted=False):
     lv = initialize(rho0, rho1, nt, dtype=jnp.float32, weight=weight)
     initial_scaling(lv, scaling=True)
 
+    # Two aliased paths, each compared against the plain XLA step from the
+    # same prepped state:
+    #   'ca'    — segment_impl (x_step / qx_step / cx_step / cx_final)
+    #   'plain' — the non-CA fused step (z_step / q_step / beta_step),
+    #             which _step dispatches to when _fused is built. This is
+    #             the path the ADVICE r4 phi-alias finding lived on: the
+    #             state carry + KKT reads of s.phi after q_step mean phi
+    #             must SURVIVE the call — covered here because 'phi' is one
+    #             of the compared state leaves.
     states = {}
     for use_pallas in (False, True):
         cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=1.9,
@@ -61,22 +70,30 @@ def compare(nx, ny, nt, weighted=False):
             assert k.segment_ca, "CA segment not enabled"
         s = k.prep(lv.as_dict(), sigma=1.0)
         seg = jax.jit(lambda st, k=k: k.segment_impl(st, K))
-        states[use_pallas] = jax.device_get(seg(s))
+        fused = jax.jit(lambda st, k=k: jax.lax.fori_loop(
+            0, K, lambda _, x: k._step(x), st))
+        states[use_pallas] = {"ca": jax.device_get(seg(s)),
+                              "plain": jax.device_get(fused(s))}
 
-    worst = (0.0, "")
-    for name in states[True]._fields:
-        a, b = getattr(states[True], name), getattr(states[False], name)
-        for leaf_a, leaf_b in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-            la, lb = np.asarray(leaf_a), np.asarray(leaf_b)
-            scale = np.max(np.abs(lb)) or 1.0
-            err = float(np.max(np.abs(la - lb)) / scale)
-            if err > worst[0]:
-                worst = (err, name)
+    ok = True
     tag = "weighted" if weighted else "plain"
-    status = "PASS" if worst[0] <= RTOL else "FAIL"
-    print(f"{status} {tag} {nx}x{ny}x{nt}: worst rel err {worst[0]:.2e} "
-          f"on '{worst[1]}' after {K} aliased iterations", flush=True)
-    return worst[0] <= RTOL
+    for path in ("ca", "plain"):
+        worst = (0.0, "")
+        sp, sx = states[True][path], states[False][path]
+        for name in sp._fields:
+            a, b = getattr(sp, name), getattr(sx, name)
+            for leaf_a, leaf_b in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                la, lb = np.asarray(leaf_a), np.asarray(leaf_b)
+                scale = np.max(np.abs(lb)) or 1.0
+                err = float(np.max(np.abs(la - lb)) / scale)
+                if err > worst[0]:
+                    worst = (err, name)
+        status = "PASS" if worst[0] <= RTOL else "FAIL"
+        print(f"{status} {tag}/{path} {nx}x{ny}x{nt}: worst rel err "
+              f"{worst[0]:.2e} on '{worst[1]}' after {K} aliased iterations",
+              flush=True)
+        ok &= worst[0] <= RTOL
+    return ok
 
 
 def main():
