@@ -12,6 +12,22 @@ times land in the JSON, so warm-cache variance is visible in the artifact):
 3. wdot2d  — ``demo_wdot2d.m:10-17,67``: 129^3, tol=1e-3, 3 levels,
    love-heart barrier (analytic), weighted inPALM with the fused Pallas
    q-step kernel.
+4. refine  — the NORTH-STAR metric (BASELINE.json: "wall-clock to KKT tol
+   1e-6"): the headline config continued to KKT 1e-6 via the f64 IR-DCT
+   tail (``refine_tol=1e-6``, stop rule ``solver_socp_inPALM.m:287``).
+5. dot1d   — ``demo_dot1d.m:10-17``: nt=33, nx=1025, tol=1e-5 (the
+   reference's own 1D tolLowerBound, ``solver_dotsocp1d.m:121``), 3
+   levels, Gaussian pair, mixed-precision path (f32 multilevel + f64
+   IR-DCT tail to 1e-5).
+6. alias   — not a timing: runs scripts/tpu_alias_check.py on the chip so
+   every captured round proves the in-place Pallas alias maps
+   (``alias_check_ok`` in the artifact; CPU interpret mode disables
+   aliasing, so only a hardware run means anything).
+
+The scale metric additionally stamps per-phase GB/s vs roofline
+(``utils/profiling.profile_phases`` on the finest level — the
+BASELINE.json "kernel efficiency" target, ``solver_socp_inPALM.m:339-341``
+taxonomy) into ``scale_513_phases``.
 
 Timeout-proofing (round-3 postmortem: BENCH_r03.json was rc=124/empty
 because one stalled axon compile sank a single end-of-run print): each
@@ -116,6 +132,49 @@ def run_wdot(dtype, time_limit=900.0, repeats=2):
     return _best_of(one, repeats)
 
 
+def run_refine(dtype, repeats=2):
+    """North-star metric: headline config to KKT tol 1e-6 (f32 multilevel
+    + f64 IR-DCT tail; BASELINE.json ``metric``)."""
+    from dotsocp_tpu.models.examples import get_example_2d
+    from dotsocp_tpu.multilevel.solve import solve_dot
+
+    rho0, rho1 = get_example_2d("DOTmark_4stitch", NX, NY)
+
+    def one(rep):
+        out, hml, h = solve_dot(
+            rho0, rho1, NT, LEVELS,
+            {"tol": TOL, "maxit": 6000, "driver": "device",
+             "refine_tol": 1e-6, "prewarm": rep == 0},
+            "inPALM", dtype=dtype, verbose=False,
+        )
+        out["final_kkt"] = h["kkt"][-1]
+        return out
+
+    return _best_of(one, repeats)
+
+
+def run_dot1d(dtype, repeats=2):
+    """The 1D reference config (``demo_dot1d.m:10-17``): 1025x33, 3
+    levels, tol 1e-5 via the mixed-precision path (tolLowerBound=1e-5 is
+    the reference's own floor, ``solver_dotsocp1d.m:121``)."""
+    from dotsocp_tpu.models.examples import get_example_1d
+    from dotsocp_tpu.multilevel.solve import solve_dot
+
+    rho0, rho1 = get_example_1d("gaussian", 1025)
+
+    def one(rep):
+        out, hml, h = solve_dot(
+            rho0, rho1, NT, LEVELS,
+            {"tol": TOL, "maxit": 3000, "driver": "device",
+             "refine_tol": 1e-5, "prewarm": rep == 0},
+            "inPALM", dtype=dtype, verbose=False,
+        )
+        out["final_kkt"] = h["kkt"][-1]
+        return out
+
+    return _best_of(one, repeats)
+
+
 def run_scale(dtype, time_limit=1200.0, repeats=2):
     """The BASELINE 512x512x64-class config as a captured end-to-end
     metric: 513x513x65, tol 1e-4, 3 levels (129^2x17 -> 257^2x33 ->
@@ -127,17 +186,27 @@ def run_scale(dtype, time_limit=1200.0, repeats=2):
 
     rho0, rho1 = get_example_2d("DOTmark_4stitch", SCALE_N, SCALE_N)
 
+    prof = {}
+
     def one(rep):
         out, _, h = solve_dot(
             rho0, rho1, SCALE_NT, 3,
             {"tol": TOL, "maxit": 3000, "driver": "device",
-             "time_limit": time_limit, "prewarm": rep == 0},
+             "time_limit": time_limit, "prewarm": rep == 0,
+             # per-phase GB/s vs roofline, captured on the cold rep (its
+             # wall time is compile-dominated anyway; best-of ignores it)
+             "profile": rep == 0},
             "inPALM", dtype=dtype, verbose=False,
         )
         out["final_kkt"] = h["kkt"][-1]
+        for lvl in out["levels"]:  # keep the finest level's phase table
+            if "phases" in lvl:
+                prof["phases"] = lvl["phases"]
         return out
 
-    return _best_of(one, repeats)
+    best, info, times = _best_of(one, repeats)
+    info["profile_phases"] = prof.get("phases")
+    return best, info, times
 
 
 def _child_metric(name):
@@ -172,7 +241,8 @@ def _child_metric(name):
         }
     elif name == "scale":
         ts, outs, tss = run_scale(jnp.float32)
-        fin = outs["levels"][-1]
+        fin = next(l for l in reversed(outs["levels"])
+                   if not l.get("refine"))
         fields = {
             "scale_513x513x65_tol1e-4_s": round(ts, 3),
             "scale_513_iters": sum(l["iters"] for l in outs["levels"]),
@@ -184,6 +254,39 @@ def _child_metric(name):
                 np.max(np.asarray(outs["final_kkt"])[[0, 2, 5, 6]])
             ),
             "scale_513_times": tss,
+        }
+        phases = outs.get("profile_phases")
+        if phases:
+            fields["scale_513_phases"] = {
+                k: {m: round(float(v), 2) for m, v in row.items()}
+                for k, row in phases.items()
+            }
+    elif name == "refine":
+        jax.config.update("jax_enable_x64", True)
+        tr, outr, trs = run_refine(jnp.float32)
+        tail = [l for l in outr["levels"] if l.get("refine")]
+        fields = {
+            "dot2d_tol1e-6_s": round(tr, 3),
+            "dot2d_tol1e-6_iters": sum(l["iters"] for l in outr["levels"]),
+            "dot2d_tol1e-6_tail_s": round(sum(l["time"] for l in tail), 3),
+            "dot2d_tol1e-6_tail_iters": sum(l["iters"] for l in tail),
+            "dot2d_tol1e-6_final_kkt": float(
+                np.max(np.asarray(outr["final_kkt"])[[0, 2, 5, 6]])
+            ),
+            "dot2d_tol1e-6_mass_ok": bool(outr["mass_ok"]),
+            "dot2d_tol1e-6_times": trs,
+        }
+    elif name == "dot1d":
+        jax.config.update("jax_enable_x64", True)
+        t1, out1, t1s = run_dot1d(jnp.float32)
+        fields = {
+            "dot1d_1025x33_tol1e-5_s": round(t1, 3),
+            "dot1d_iters": sum(l["iters"] for l in out1["levels"]),
+            "dot1d_final_kkt": float(
+                np.max(np.asarray(out1["final_kkt"])[[0, 2, 5, 6]])
+            ),
+            "dot1d_mass_ok": bool(out1["mass_ok"]),
+            "dot1d_times": t1s,
         }
     elif name == "wdot":
         from dotsocp_tpu.models.wdot2d import wdot_provenance
@@ -232,6 +335,30 @@ def _run_metric_subprocess(name, budget, result):
     return True
 
 
+def _run_alias_check(budget, result):
+    """Per-round hardware proof of the in-place Pallas alias maps
+    (VERDICT r4 item 4): run scripts/tpu_alias_check.py under a wall
+    budget and record pass/fail. Interpret-mode CI disables aliasing, so
+    this is the only gate that exercises the hand-computed index maps."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "tpu_alias_check.py")
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, script],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            timeout=budget, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        result["alias_check_ok"] = False
+        result["alias_error"] = f"timeout after {budget:.0f}s"
+        return
+    tail = "; ".join(proc.stdout.strip().splitlines()[-4:])
+    result["alias_check_ok"] = proc.returncode == 0
+    result["alias_check_detail"] = tail[-400:]
+    result["alias_wall_s"] = round(time.time() - t0, 1)
+
+
 def main():
     if "--cpu" in sys.argv:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -250,11 +377,17 @@ def main():
 
     budget = float(os.environ.get("DOTSOCP_BENCH_BUDGET", "1200"))
     deadline = time.time() + float(
-        os.environ.get("DOTSOCP_BENCH_DEADLINE", "3000")
+        os.environ.get("DOTSOCP_BENCH_DEADLINE", "4500")
     )
-    metrics = [("headline", True)]
-    metrics.append(("scale", os.environ.get("DOTSOCP_BENCH_SCALE", "1") != "0"))
-    metrics.append(("wdot", os.environ.get("DOTSOCP_BENCH_WDOT", "1") != "0"))
+    env = os.environ.get
+    metrics = [
+        ("headline", True),
+        ("refine", env("DOTSOCP_BENCH_REFINE", "1") != "0"),
+        ("scale", env("DOTSOCP_BENCH_SCALE", "1") != "0"),
+        ("wdot", env("DOTSOCP_BENCH_WDOT", "1") != "0"),
+        ("dot1d", env("DOTSOCP_BENCH_DOT1D", "1") != "0"),
+        ("alias", env("DOTSOCP_BENCH_ALIAS", "1") != "0"),
+    ]
 
     result = {}
     for name, enabled in metrics:
@@ -263,6 +396,8 @@ def main():
         remaining = deadline - time.time()
         if result and remaining < 60:
             result[f"{name}_error"] = "skipped: global deadline reached"
+        elif name == "alias":
+            _run_alias_check(min(budget, max(remaining, 120)), result)
         else:
             _run_metric_subprocess(name, min(budget, max(remaining, 120)),
                                    result)

@@ -117,11 +117,14 @@ class LevelConfig:
     layout: str = "3d"
     # mesh for layout="halo" (spatial axes "y"/"x"); ignored otherwise
     mesh: Optional[object] = None
-    # f64 DCT transforms as split-f32 MXU matmuls (~3x faster than
-    # emulated-f64 matmuls at ~1e-9 relative error; ops/poisson.py
-    # _apply_axis_split). Opt-in: it perturbs f64 trajectories at the
-    # 1e-9 level, so golden f64 fixtures keep the plain path.
-    dct_split: bool = False
+    # f64 DCT strategy: False = plain (emulated on TPU, ~8.4x f32);
+    # True = double-word split-f32 MXU matmuls (~3x faster, ~1e-9 phi
+    # error; ops/poisson.py _apply_axis_split); "ir" = f32 transforms +
+    # f64-residual iterative refinement (split-level cost, ~f64-grade
+    # accuracy — no floor; ops/poisson.py _solve_ir). Opt-in: both fast
+    # modes perturb f64 trajectories below the 1e-9 level, so golden f64
+    # fixtures keep the plain path.
+    dct_split: object = False
     # Whether the cached z2 = BFd(q) is carried in SolverState. z2 is
     # derivable from q (same op, same inputs — equal to FMA-contraction
     # noise), so carrying it costs a full z-sized HBM write + read per

@@ -143,7 +143,7 @@ def _solver_cache_key(method, lv, o: SolveOptions, dtype, driver,
         weight_key, bool(o.check_prim_dual_feas), str(jnp.dtype(dtype)),
         bool(use_pallas), pallas_key, int(o.maxit), int(o.restart),
         float(o.rho), float(o.theta), bool(o.check_step_by_step),
-        checkpoint_path, layout, mesh_key, bool(dct_split),
+        checkpoint_path, layout, mesh_key, str(dct_split),
         tuple(sorted((device_kw or {}).items())),
     )
 
@@ -724,12 +724,11 @@ def _solve_dot_impl(rho0, rho1, nt, level_n, opts, method, weight=None,
         # 8-11%. The tail runs at the problem's linear ADMM rate — so the
         # speedup comes from PER-ITERATION cost instead: the f64 step is
         # dominated by the DCT matmuls (8.1 of 9.2 ms at 129^2x33 on v5e
-        # — the MXU has no f64 path), and the split-f32 DCT
-        # (ops/poisson.py:_apply_axis_split) runs them ~3x faster at a
-        # ~3e-7 phi error, whose KKT floor is ~2e-6 (measured). Tail plan
-        # ('refine_dct_split'='auto'): split-DCT iterations down to 4e-6,
-        # then true-f64 DCT for the remainder; tolerances >= 4e-6 (e.g.
-        # the 1D reference default 1e-5) run entirely on the split path.
+        # — the MXU has no f64 path). Round 4 ran them as split-f32
+        # matmuls (~3x faster, KKT floor ~2e-8*n); round 5's IR-DCT
+        # (ops/poisson.py:_solve_ir — f32 transforms + f64 stencil
+        # residual) keeps the split-level cost with NO floor, so 'auto'
+        # on TPU now runs the whole tail as one IR phase at any tol.
         refine_method = str(opts.get("refine_method", method))
         methods_ok = WDOT_METHODS if lv.weight is not None else DOT_METHODS
         if refine_method not in methods_ok:
@@ -739,13 +738,24 @@ def _solve_dot_impl(rho0, rho1, nt, level_n, opts, method, weight=None,
         # The split path's KKT floor scales with the longest transform
         # axis (the phi noise is amplified by the gradient): measured
         # stalls at 2.1e-6 (n=65) and 1.9e-5 (n=1025) -> floor ~2e-8*n;
-        # the phase threshold doubles it for safety margin.
+        # the phase threshold doubles it for safety margin. The 'ir' mode
+        # (round 5, ops/poisson.py:_solve_ir) has no floor — f32 DCTs +
+        # f64-residual refinement reach f64-grade phi at split-level cost,
+        # so the tail runs as ONE phase at any tolerance.
         _split_floor = max(4e-6, 4e-8 * max((lv.geom.nt,) + lv.geom.space))
         if split_opt == "auto":
-            # the split path wins where f64 matmuls are emulated (TPU);
-            # CPU f64 GEMM is native, so 'auto' keeps the plain tail there
-            split_opt = _jax.default_backend() == "tpu"
-        if split_opt:
+            # IR wins everywhere: on TPU the f64 matmuls are emulated
+            # (~8.4x f32), on CPU native f64 GEMM still costs ~2x f32 —
+            # measured 1D 257x17 tail to 1e-6: 26.3 vs 35.8 s on CPU,
+            # identical 7529-iteration trajectory and final KKT. One
+            # refinement round suffices at every shipped config (v5e:
+            # trajectory-identical to the 2-step and plain-f64 tails at
+            # 129^2x33 and 1025x33 down to 1e-6); keep the second round
+            # for tighter targets as floor margin.
+            split_opt = "ir1" if float(refine_tol) >= 1e-6 else "ir"
+        if split_opt in ("ir", "ir1"):
+            phases = [(split_opt, float(refine_tol))]
+        elif split_opt:
             if float(refine_tol) >= _split_floor:
                 phases = [(True, float(refine_tol))]
             else:
@@ -781,7 +791,9 @@ def _solve_dot_impl(rho0, rho1, nt, level_n, opts, method, weight=None,
             ref_iters += out["iters"]
             ref_time += out["solve_time"]
             hist["method"] = solver.name + (
-                " (f64 refine, split-DCT)" if use_split else " (f64 refine)"
+                " (f64 refine, IR-DCT)" if use_split in ("ir", "ir1")
+                else " (f64 refine, split-DCT)" if use_split
+                else " (f64 refine)"
             )
             hists.append(hist)
         recover_org_var(lv, out)

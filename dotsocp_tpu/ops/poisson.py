@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,12 +46,22 @@ def neumann_eigenvalues(n: int) -> np.ndarray:
     return 2.0 * (n - 1) ** 2 * (1.0 - np.cos(np.pi * k / n))
 
 
+class IrSpec(NamedTuple):
+    """Config of the iterative-refinement f64 solve (``split='ir'``)."""
+
+    coeffs: Tuple[float, ...]  # (n_a - 1)^2 per axis for the A^T A stencil
+    d2: float                  # D^2 baked at build time (unit-D builds: 1)
+    epsilon: Optional[float]   # Helmholtz shift; None = zero mode pinned
+    steps: int                 # refinement rounds (2 reaches ~f64 grade)
+
+
 class DctPoisson(NamedTuple):
     """Precomputed transform matrices + inverse kernel for one geometry."""
 
     mats: Tuple[jax.Array, ...]  # one orthonormal DCT matrix per array axis
     inv_kernel: jax.Array        # 1 / (D^2 * kernel), phi-shaped
     split: bool = False          # f64 transforms as split-f32 MXU matmuls
+    ir: Optional[IrSpec] = None  # f32 solve + f64-residual refinement
 
     def solve(self, rhs: jax.Array, scale=None) -> jax.Array:
         """phi = idctn(dctn(rhs) * inv_kernel) (``oper_poisson3dim.m:4``).
@@ -59,6 +69,8 @@ class DctPoisson(NamedTuple):
         ``scale`` multiplies the inverse kernel at use time — pass 1/D^2
         against a unit-D build so the traced level constant D never bakes
         into the executable (it fuses into the existing kernel multiply)."""
+        if self.ir is not None and rhs.dtype == jnp.float64:
+            return self._solve_ir(rhs, scale)
         apply = _apply_axis_split if self.split else _apply_axis
         y = rhs
         for ax, C in enumerate(self.mats):
@@ -68,6 +80,71 @@ class DctPoisson(NamedTuple):
         for ax, C in enumerate(self.mats):
             y = apply(C.T, y, ax)
         return y
+
+    def _base32(self, r: jax.Array, scale32) -> jax.Array:
+        """Plain f32 DCT solve (the IR preconditioner); mats/inv_kernel are
+        f32 in IR builds."""
+        y = r.astype(jnp.float32)
+        for ax, C in enumerate(self.mats):
+            y = _apply_axis(C, y, ax)
+        y = y * (self.inv_kernel if scale32 is None
+                 else self.inv_kernel * scale32)
+        for ax, C in enumerate(self.mats):
+            y = _apply_axis(C.T, y, ax)
+        return y
+
+    def _solve_ir(self, rhs: jax.Array, scale=None) -> jax.Array:
+        """f64 solve by iterative refinement over the f32 DCT solve.
+
+        The round-4 split-f32 DCT (``_apply_axis_split``) hit a KKT floor
+        ~2e-8 * n (phi error ~3e-7 amplified by the gradient), forcing a
+        true emulated-f64 phase below it. Refinement removes the floor at
+        split-level cost: the f32 solve is only a preconditioner whose
+        operator error is ~1e-6, and the residual
+
+            r = rhs - (D^2/scale) * (A^T A y + P0 y)
+
+        is computed in genuine f64 where A^T A is the per-axis Neumann
+        second-difference stencil (cheap elementwise VPU work even
+        emulated — the matmuls are what made f64 cost 8.4x f32) and
+        P0 y = mean(y) accounts for the pinned zero mode
+        (``initialize_FFTkernel.m:15``: kernel(1) = 1, so the solve's
+        operator is D^2 (A^T A + u u^T) with u the normalized constant).
+        Each round contracts the error by the f32 solve's operator error;
+        ``steps=2`` lands at the f64 rounding floor (measured ~1e-13
+        relative phi error, tests/test_ops.py::test_ir_dct_precision).
+        """
+        spec = self.ir
+        dtype = rhs.dtype
+        scale32 = None if scale is None else jnp.asarray(scale, jnp.float32)
+        inv_scale = (spec.d2 if scale is None
+                     else spec.d2 / jnp.asarray(scale, dtype))
+        y = self._base32(rhs, scale32).astype(dtype)
+        for _ in range(spec.steps):
+            ay = neumann_ata_apply(y, spec.coeffs)
+            ay = ay + (spec.epsilon * y if spec.epsilon is not None
+                       else jnp.mean(y))
+            r = rhs - inv_scale * ay
+            y = y + self._base32(r, scale32).astype(dtype)
+        return y
+
+
+def neumann_ata_apply(y: jax.Array, coeffs: Tuple[float, ...]) -> jax.Array:
+    """A^T A y: sum over axes of (n_a-1)^2 * (D^T D y)_a with forward
+    differences and Neumann ends — row 0: y0-y1, interior: -y[i-1]+2y[i]
+    -y[i+1], row n-1: y[n-1]-y[n-2]. Eigenvalues match
+    ``neumann_eigenvalues`` (2 (n-1)^2 (1 - cos(pi k / n)) per axis)."""
+    out = None
+    for ax, c in enumerate(coeffs):
+        d = jnp.diff(y, axis=ax)
+        pad_lo = [(0, 0)] * y.ndim
+        pad_lo[ax] = (1, 0)
+        pad_hi = [(0, 0)] * y.ndim
+        pad_hi[ax] = (0, 1)
+        term = jnp.asarray(c, y.dtype) * (jnp.pad(d, pad_lo)
+                                          - jnp.pad(d, pad_hi))
+        out = term if out is None else out + term
+    return out
 
 
 def _apply_axis(M: jax.Array, x: jax.Array, axis: int) -> jax.Array:
@@ -138,13 +215,23 @@ def _apply_axis_split(M: jax.Array, x: jax.Array, axis: int,
 
 
 def make_dct_poisson(geom: Geometry, D=1.0, epsilon=None, dtype=jnp.float32,
-                     split: bool = False) -> DctPoisson:
+                     split=False, ir_steps: int = 2) -> DctPoisson:
     """Build the solver for  D^2 * (A^T A + epsilon I) phi = rhs.
 
     epsilon=None pins the zero mode's kernel entry to 1 (pure Neumann
     Poisson, matching ``initialize_FFTkernel.m:15``); otherwise the
     Helmholtz shift is added (``initialize_FFTkernel.m:17-22``).
+
+    ``split`` selects the f64 strategy: False = native/emulated f64
+    matmuls, True = double-word split-f32 MXU matmuls (~1e-9 phi error),
+    "ir" = f32 transforms + f64-residual iterative refinement (~f64-grade,
+    no accuracy floor — the mats/inv_kernel are then built in f32);
+    "ir1" = the same with a single refinement round (one f32 solve
+    cheaper per application, phi error ~the split path's).
     """
+    use_ir = split in ("ir", "ir1")
+    if split == "ir1":
+        ir_steps = 1
     ns = (geom.nt,) + geom.space
     lam = [neumann_eigenvalues(n) for n in ns]
     kernel = np.zeros(ns)
@@ -156,6 +243,16 @@ def make_dct_poisson(geom: Geometry, D=1.0, epsilon=None, dtype=jnp.float32,
         kernel.flat[0] = 1.0  # zero mode: pass-through (pinned)
     else:
         kernel = kernel + epsilon
-    inv_kernel = jnp.asarray(1.0 / (float(D) ** 2 * kernel), dtype=dtype)
-    mats = tuple(dct_matrix(n, dtype) for n in ns)
-    return DctPoisson(mats=mats, inv_kernel=inv_kernel, split=bool(split))
+    mat_dtype = jnp.float32 if use_ir else dtype
+    inv_kernel = jnp.asarray(1.0 / (float(D) ** 2 * kernel), dtype=mat_dtype)
+    mats = tuple(dct_matrix(n, mat_dtype) for n in ns)
+    ir = None
+    if use_ir:
+        ir = IrSpec(
+            coeffs=tuple(float((n - 1) ** 2) for n in ns),
+            d2=float(D) ** 2,
+            epsilon=None if epsilon is None else float(epsilon),
+            steps=int(ir_steps),
+        )
+    return DctPoisson(mats=mats, inv_kernel=inv_kernel,
+                      split=bool(split) and not use_ir, ir=ir)

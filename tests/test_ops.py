@@ -216,3 +216,73 @@ def test_split_dct_precision():
         r = np.asarray(_apply_axis(Ma, x3, ax))
         g = np.asarray(_apply_axis_split(Ma, x3, ax))
         np.testing.assert_allclose(g, r, rtol=0, atol=2e-6 * np.abs(r).max())
+
+
+def test_neumann_ata_stencil_matches_spectrum():
+    """neumann_ata_apply (the IR residual operator) is spectrally identical
+    to the DCT kernel: C^T diag(eigenvalues) C x == A^T A x."""
+    from dotsocp_tpu.ops.poisson import (
+        _apply_axis, neumann_ata_apply, neumann_eigenvalues,
+    )
+
+    rng = np.random.default_rng(11)
+    for geom in GEOMS:
+        ns = (geom.nt,) + geom.space
+        x = jnp.asarray(rng.standard_normal(ns))
+        # spectral A^T A: transform, multiply eigenvalue sum, transform back
+        kernel = np.zeros(ns)
+        for ax, n in enumerate(ns):
+            shape = [1] * len(ns)
+            shape[ax] = n
+            kernel = kernel + neumann_eigenvalues(n).reshape(shape)
+        y = x
+        mats = [dct_matrix(n, jnp.float64) for n in ns]
+        for ax, C in enumerate(mats):
+            y = _apply_axis(C, y, ax)
+        y = y * jnp.asarray(kernel)
+        for ax, C in enumerate(mats):
+            y = _apply_axis(C.T, y, ax)
+        got = neumann_ata_apply(x, tuple(float((n - 1) ** 2) for n in ns))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(y), rtol=0,
+            atol=1e-9 * float(np.abs(np.asarray(y)).max()),
+        )
+
+
+def test_ir_dct_precision():
+    """IR f64 solve (split='ir'): f32 DCT base solve + f64 stencil-residual
+    refinement reaches ~f64-grade phi with NO accuracy floor (unlike the
+    double-word split path's ~2e-8*n KKT floor). Two steps suffice; one
+    step already beats the split path."""
+    geom = Geometry(nt=9, space=(33, 129))
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal((geom.nt,) + geom.space))
+    ref = make_dct_poisson(geom, dtype=jnp.float64)  # true f64 (CPU native)
+    scale = 1.0 / (0.37 ** 2)  # exercise the traced use-time scale
+    want = np.asarray(ref.solve(rhs, scale=scale))
+    span = float(np.abs(want).max())
+
+    ir2 = make_dct_poisson(geom, split="ir")
+    got2 = np.asarray(ir2.solve(rhs, scale=scale))
+    assert got2.dtype == np.float64
+    err2 = np.abs(got2 - want).max() / span
+    assert err2 < 1e-11, err2
+
+    ir1 = make_dct_poisson(geom, split="ir", ir_steps=1)
+    err1 = np.abs(np.asarray(ir1.solve(rhs, scale=scale)) - want).max() / span
+    assert err1 < 1e-8, err1
+
+    f32 = make_dct_poisson(geom, dtype=jnp.float32)
+    errf32 = (
+        np.abs(np.asarray(f32.solve(rhs.astype(jnp.float32),
+                                    scale=scale)) - want).max() / span
+    )
+    assert err2 < errf32 * 1e-3, (err2, errf32)
+
+    # Helmholtz branch (epsilon shifts the kernel instead of pinning)
+    ref_e = make_dct_poisson(geom, epsilon=2.5, dtype=jnp.float64)
+    ir_e = make_dct_poisson(geom, epsilon=2.5, split="ir")
+    want_e = np.asarray(ref_e.solve(rhs))
+    err_e = (np.abs(np.asarray(ir_e.solve(rhs)) - want_e).max()
+             / float(np.abs(want_e).max()))
+    assert err_e < 1e-11, err_e

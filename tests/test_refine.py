@@ -98,3 +98,24 @@ def test_refine_split_dct_two_phase():
     assert "split-DCT" in hml["method"] or "refine" in hml["method"]
     # the combined report counts both phases
     assert out["levels"][-1].get("refine") is True
+
+
+def test_refine_ir_dct_single_phase():
+    """refine_dct_split='ir' (the TPU 'auto' default since round 5): the
+    whole f64 tail runs as ONE phase on f32 DCTs + f64-residual iterative
+    refinement (ops/poisson.py:_solve_ir) — split-level per-iteration cost
+    with no accuracy floor, so targets below the split path's ~2e-8*n
+    floor need no true-f64 phase."""
+    rho0, rho1 = _problem(17, seed=4)
+    out, hml, h = solve_dot(
+        rho0, rho1, 5, 1,
+        {"tol": 1e-4, "maxit": 6000, "refine_tol": 1e-6,
+         "refine_dct_split": "ir", "reuse_solvers": False},
+        "inPALM", dtype=jnp.float32, verbose=False,
+    )
+    k = h["kkt"][-1]
+    assert max(k[i] for i in (0, 2, 5, 6)) < 1e-6
+    assert out["mass_ok"]
+    assert "IR-DCT" in h["method"]
+    assert out["levels"][-1].get("refine") is True
+    assert check_mass_conservation(np.asarray(out["rho"]), tol=1e-4)
