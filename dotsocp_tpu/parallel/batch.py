@@ -72,11 +72,43 @@ class BatchedDeviceDriver:
     RATIO_THRESHOLD = 1.2
 
     def __init__(self, kernels: Kernels, opts: SolveOptions,
-                 chunk_iters: int = 600):
+                 chunk_iters: int = 600, mesh=None):
+        """``mesh`` (optional): a mesh whose ``batch`` axis carries the
+        instances and whose spatial axes (y/x/t) domain-decompose every
+        instance's grid — the BASELINE.json scale config ("sharded over a
+        pod slice + batched independent instances") as ONE device loop.
+        Requires the shaped ("3d") kernel layout; shardings are annotated
+        with in-jit constraints (odd 2^k+1 grids pad internally under
+        GSPMD, parallel/sharding.constrain)."""
         self.k = kernels
         self.opts = opts
         self.chunk_iters = chunk_iters
+        self.mesh = mesh
+        self._sh = None
+        if mesh is not None and any(
+            a in mesh.axis_names for a in ("y", "x", "t")
+        ):
+            if kernels.cfg.layout != "3d":
+                raise ValueError(
+                    "combined batch x spatial sharding needs layout='3d' "
+                    f"kernels (got {kernels.cfg.layout!r}: the flat layout "
+                    "folds the spatial axes away)"
+                )
+            from .sharding import state_shardings
+
+            self._sh = state_shardings(
+                mesh, batched=True, carry_z2=getattr(kernels, "carry_z2",
+                                                     False),
+                ndim_space=kernels.geom.ndim_space,
+            )
         self._chunk = self._build_chunk()
+
+    def _constrain(self, s):
+        if self._sh is None:
+            return s
+        from .sharding import constrain
+
+        return constrain(s, self._sh)
 
     def _build_chunk(self):
         k = self.k
@@ -166,7 +198,7 @@ class BatchedDeviceDriver:
             )
 
         def one_iter(_, ls: BatchLoopState) -> BatchLoopState:
-            s_new = vstep(ls.s)
+            s_new = self._constrain(vstep(ls.s))
             s = _tree_where(ls.done, ls.s, s_new)  # freeze converged
             return ls._replace(s=s, it=ls.it + 1)
 
@@ -180,7 +212,7 @@ class BatchedDeviceDriver:
         def run_to(ls: BatchLoopState, n) -> BatchLoopState:
             if vseg is None:
                 return jax.lax.fori_loop(0, n, one_iter, ls)
-            s_new = vseg(ls.s, n)
+            s_new = self._constrain(vseg(ls.s, n))
             s = _tree_where(ls.done, ls.s, s_new)
             return ls._replace(s=s, it=ls.it + n)
 
@@ -204,6 +236,8 @@ class BatchedDeviceDriver:
 
         @jax.jit
         def chunk(ls: BatchLoopState, it_end) -> BatchLoopState:
+            ls = ls._replace(s=self._constrain(ls.s))
+
             def cond(carry):
                 ls, end = carry
                 return (~jnp.all(ls.done)) & (ls.it < end)
@@ -313,7 +347,15 @@ def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
             if kernels is None:
                 from ..multilevel.solve import _resolve_pallas
 
-                layout = str(opts.get("layout", "flat"))
+                # a mesh with spatial axes = combined dp x spatial
+                # decomposition (BASELINE.json scale config): needs the
+                # shaped layout so y/x constraints can bind
+                spatial_mesh = mesh is not None and any(
+                    a in mesh.axis_names for a in ("y", "x", "t")
+                )
+                layout = str(opts.get(
+                    "layout", "3d" if spatial_mesh else "flat"
+                ))
                 up = _resolve_pallas(opts.get("use_pallas", "auto"), lv,
                                      dtype, layout, method, mesh)
                 cfg = LevelConfig(geom=lv.geom, D=lv.D, E=lv.E, tau=o.tau,
@@ -339,7 +381,7 @@ def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
                 bstate,
             )
 
-        driver = BatchedDeviceDriver(kernels, o)
+        driver = BatchedDeviceDriver(kernels, o, mesh=mesh)
         ls, elapsed = driver.solve(bstate)
         total_time += elapsed
         total_iters += int(jax.device_get(ls.it))

@@ -287,6 +287,52 @@ def hist_violation_q(q0, bs, title: str = "f(q) > 0",
     return fig
 
 
+def hist_positive_value(y, title: str = "Histogram of value >= 0",
+                        save: Optional[str] = None,
+                        x_left: int = -8, x_right: int = -1):
+    """Named port of ``utils/hist_positive_value.m``: dual-axis log10
+    histogram of a nonnegative violation field — per-bin probability bars
+    (left axis) over 50 log-spaced decade bins in [10^-8, 10^-1], with the
+    reverse-cumulative proportion as a filled area (right axis) and the
+    x-axis reversed so severity grows to the left. This is the general
+    helper behind the reference's f(q)>0 / rho<0 violation figures;
+    :func:`hist_violation_q` stays the convenience wrapper for its only
+    in-repo use."""
+    plt = _mpl()
+    vals = np.maximum(np.asarray(y, np.float64).ravel(), 0.0)
+    vals = vals[vals > 0]
+    levels = np.linspace(x_left, x_right, 50)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    color_hist = (220 / 255, 94 / 255, 40 / 255)
+    color_area = (0.0, 114 / 255, 189 / 255)
+    if vals.size:
+        logv = np.log10(vals)
+        counts, edges = np.histogram(logv, bins=levels)
+        prop = counts / max(logv.size, 1)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        width = edges[1] - edges[0]
+        ax.bar(centers, 100.0 * prop, width=width, color=color_hist)
+        ax2 = ax.twinx()
+        cum = np.cumsum(prop[::-1])[::-1]
+        ax2.fill_between(centers, 100.0 * cum, color=color_area,
+                         alpha=0.75, linewidth=0)
+        ax2.set_ylabel("Cumulative percentage", color=color_area)
+        ax2.tick_params(axis="y", colors=color_area)
+    ax.set_ylabel("Percentage", color=color_hist)
+    ax.tick_params(axis="y", colors=color_hist)
+    ax.set_xlabel("Violation")
+    ticks = np.arange(x_left, x_right + 1)
+    ax.set_xticks(ticks)
+    ax.set_xticklabels([f"$10^{{{t}}}$" for t in ticks])
+    ax.invert_xaxis()
+    ax.set_title(title)
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=130)
+        plt.close(fig)
+    return fig
+
+
 def _publication_style(ax, mode: str):
     """The reference's figure polish (``export_evolution_2d.m``
     setGraphic_* + adjust_fig of ``show_evolution_2d.m``): serif/Times

@@ -10,8 +10,9 @@ from dotsocp_tpu.multilevel.solve import solve_dot
 
 @pytest.mark.parametrize("method", [
     "inPALM",
-    pytest.param("PALM", marks=pytest.mark.slow),
-    pytest.param("acc-ADMM", marks=pytest.mark.slow),
+    "ALG2",
+    "PALM",
+    "acc-ADMM",
 ])
 def test_device_matches_host(method):
     rho0, rho1 = get_example_2d("example2", 33, 33)
@@ -34,40 +35,50 @@ def test_device_matches_host(method):
     )
 
 
-@pytest.mark.slow
-def test_sgs_device_matches_host():
-    """The on-device sGS win-count sigma machinery reproduces the host
-    driver's trajectory exactly."""
+def _sgs_parity(method, maxit):
     rho0, rho1 = get_example_2d("example2", 33, 33)
     outs = {}
     for drv in ("host", "device"):
         out, _, h = solve_dot(
             rho0, rho1, nt=9, level_n=1,
-            opts={"tol": 1e-4, "maxit": 6000, "driver": drv},
-            method="sGS-inPALM", verbose=False,
+            opts={"tol": 1e-4, "maxit": maxit, "driver": drv},
+            method=method, verbose=False,
         )
         outs[drv] = (out, h)
     (oh, hh), (od, hd) = outs["host"], outs["device"]
     assert oh["levels"][0]["iters"] == od["levels"][0]["iters"]
-    np.testing.assert_array_equal(hh["iter"], hd["iter"])
-    np.testing.assert_allclose(hh["kkt"], hd["kkt"], rtol=1e-4, atol=1e-12)
+    # maxit-capped runs: the two drivers differ in whether one extra KKT
+    # check is recorded AT it == maxit (off-cadence final check); the
+    # trajectory itself must agree on the common prefix.
+    n = min(len(hh["iter"]), len(hd["iter"]))
+    assert abs(len(hh["iter"]) - len(hd["iter"])) <= 1
+    for h_ in (hh, hd):
+        if len(h_["iter"]) > n:
+            assert int(h_["iter"][-1]) == maxit
+    np.testing.assert_array_equal(hh["iter"][:n], hd["iter"][:n])
+    np.testing.assert_allclose(hh["kkt"][:n], hd["kkt"][:n],
+                               rtol=1e-4, atol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["sGS-inPALM", "acc-sGS-ADMM"])
+def test_sgs_device_matches_host_fast(method):
+    """Fast-tier slice of the sGS win-count parity (VERDICT r4 item 6):
+    a maxit-capped run still crosses the win-count sigma machinery, the
+    cadence scaling and several rescales — trajectory equality on the
+    capped prefix is the same oracle at a fraction of the wall."""
+    _sgs_parity(method, maxit=1200)
+
+
+@pytest.mark.slow
+def test_sgs_device_matches_host():
+    """The on-device sGS win-count sigma machinery reproduces the host
+    driver's trajectory exactly (full run to tol)."""
+    _sgs_parity("sGS-inPALM", maxit=6000)
 
 
 @pytest.mark.slow
 def test_acc_sgs_device_matches_host():
-    rho0, rho1 = get_example_2d("example2", 33, 33)
-    outs = {}
-    for drv in ("host", "device"):
-        out, _, h = solve_dot(
-            rho0, rho1, nt=9, level_n=1,
-            opts={"tol": 1e-4, "maxit": 6000, "driver": drv},
-            method="acc-sGS-ADMM", verbose=False,
-        )
-        outs[drv] = (out, h)
-    (oh, hh), (od, hd) = outs["host"], outs["device"]
-    assert oh["levels"][0]["iters"] == od["levels"][0]["iters"]
-    np.testing.assert_array_equal(hh["iter"], hd["iter"])
-    np.testing.assert_allclose(hh["kkt"], hd["kkt"], rtol=1e-4, atol=1e-12)
+    _sgs_parity("acc-sGS-ADMM", maxit=6000)
 
 
 @pytest.mark.slow

@@ -43,3 +43,31 @@ def test_2d_gaussian_matches_analytic_w2():
     ref = gaussian_w2_squared((0.3, 0.3), (0.7, 0.7), 0.1, 0.1)
     assert ref == pytest.approx(0.32)
     np.testing.assert_allclose(w2sq, ref, rtol=6e-2)
+
+
+@pytest.mark.slow
+def test_w2_convergence_order_1d():
+    """Refinement study (VERDICT r4 item 7): the Gaussian W2^2 error
+    decreases with h at the scheme's order — turning the single-size
+    "within X%" checks above into evidence of convergence. Measured on
+    CPU f64 (scripts/w2_convergence.py; h and ht halve together, box
+    truncation <= 1e-5 mass):
+        nx=65:  4.47e-3   nx=129: 9.52e-4   nx=257: 4.68e-4
+    (pre-asymptotic ~O(h^2) then ~O(h) — the staggered recovery's
+    face/node averaging is first-order). Full table incl. nx=513
+    (2.65e-4) in BASELINE.md."""
+    from dotsocp_tpu.models.examples import _normalize as _norm1
+
+    m0, m1, s0, s1 = 0.35, 0.65, 0.07, 0.05
+    ref = gaussian_w2_squared(m0, m1, s0, s1)
+    errs = []
+    for nx, nt in ((65, 17), (129, 33), (257, 65)):
+        x = np.linspace(0.0, 1.0, nx)
+        rho0 = _norm1(np.exp(-0.5 * ((x - m0) / s0) ** 2))
+        rho1 = _norm1(np.exp(-0.5 * ((x - m1) / s1) ** 2))
+        out, _, _ = solve_dot(rho0, rho1, nt, 2,
+                              {"tol": 1e-6, "maxit": 20000},
+                              "inPALM", dtype=jnp.float64, verbose=False)
+        errs.append(abs(transport_cost(out["rho"], [out["Ex"]]) - ref) / ref)
+    assert errs[0] > errs[1] > errs[2], errs
+    assert errs[2] < errs[0] / 4.0, errs

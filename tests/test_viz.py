@@ -46,6 +46,10 @@ def test_all_plots_render(tmp_path):
                               save=p("rc.png"))
     plots.hist_negative_density(rho - 0.1, save=p("hn.png"))
     plots.hist_violation_q(rho[:-1], [Ex[:-1], Ey[:-1]], save=p("hv.png"))
+    # named hist_positive_value.m port (dual-axis log10 bins), incl. the
+    # all-zero edge case
+    plots.hist_positive_value(rho - 0.1, save=p("hp.png"))
+    plots.hist_positive_value(np.zeros(8), save=p("hp0.png"))
     for path in out:
         assert os.path.exists(path) and os.path.getsize(path) > 0, path
 
