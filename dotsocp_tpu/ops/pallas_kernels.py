@@ -408,6 +408,24 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     ts = int(_os.environ.get("DOTSOCP_PALLAS_TS", ts))
     ts_cap = max(128, (1_400_000 // (4 * C * (nt - 1))) // 128 * 128)
     TS = min(ts, ts_cap, ((S + 127) // 128) * 128)
+    # Packed-halo preference (round 5): per-operand stream count is a
+    # measured cost (scripts/stream_count_probe.py: same bytes/math, 3
+    # streams 3.7 ms vs 12 streams 5.8 ms at this size), so when every
+    # spatial stride fits in one tile the backward shifts read a single
+    # +1-block HALO stream per source array instead of per-axis
+    # neighbor/plane streams (qx: 9 -> 2 streams; q: 15 -> 3). If the
+    # largest stride just exceeds TS (513 vs 512), grow TS to cover it
+    # as long as the cone block stays within the proven CA-kernel bound
+    # (~1.65 MB — the cx kernels have always run 4 such blocks).
+    max_stride = max(int(k) for k in strides)
+    ts_pref = -(-max_stride // 128) * 128
+    if (TS < max_stride <= ts_pref
+            and 4 * C * (nt - 1) * ts_pref <= 1_650_000
+            and ts_pref <= ((S + 127) // 128) * 128
+            and "DOTSOCP_PALLAS_TS" not in _os.environ):
+        TS = ts_pref
+    PACKED = (max_stride <= TS
+              and _os.environ.get("DOTSOCP_PALLAS_PACKED", "1") != "0")
     grid = ((S + TS - 1) // TS,)
     # The mosaic scoped-vmem default (16 MB) is a compiler knob, not the
     # hardware ceiling; larger tiles (bigger DMA bursts) need more
@@ -460,18 +478,26 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         v = ref[:]
         return v[0] if v.ndim == 3 else v
 
-    def _asm(cur, nbr_refs, k, forward, TSv):
+    def _asm(cur, nbr_vals, k, forward, TSv):
         """Shifted window of the source whose block-i slab is ``cur``:
         forward == _flat_sfwd semantics, backward == _flat_sbwd. Clamped
         neighbor blocks at the edges are masked by the global-lane
-        zero-fill, so the result is bit-equal to the pad+slice shifts."""
+        zero-fill, so the result is bit-equal to the pad+slice shifts.
+        ``nbr_vals``: loaded neighbor slabs (nearest first for backward,
+        farthest first for forward) — refs are accepted too."""
         k = int(k)
-        n = len(nbr_refs)
         gi = pl.program_id(0)
         gl = gi * TSv + jax.lax.broadcasted_iota(jnp.int32, cur.shape,
                                                  cur.ndim - 1)
         zero = jnp.zeros((), cur.dtype)
-        vals = [_ld(r) for r in nbr_refs]
+        # normalize refs AND pre-loaded values: [:] loads a ref and is the
+        # identity on an array (ref tracers pass isinstance(jax.Array), so
+        # only slicing distinguishes them portably)
+        vals = []
+        for v in nbr_vals:
+            v = v[:]
+            vals.append(v[0] if v.ndim == 3 else v)
+        n = len(vals)
         if forward:
             cat = jnp.concatenate(vals + [cur], axis=-1)
             off = n * TSv - k
@@ -490,6 +516,21 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             specs_ += sp
             ops_ += [srcs[a]] * len(sp)
         return ops_, specs_
+
+    def _halo_spec(kind):
+        """One +1-block halo stream serving EVERY backward shift of a
+        source array (valid when max stride <= TS): the same array again
+        at block index min(i+1, nb-1); clamped edge blocks are masked by
+        _asm's global-lane zero-fill. kind: 'node' (nt, S) or 'cone'
+        (C, nt-1, S)."""
+        nbv = grid[0]
+        if kind == "node":
+            return pl.BlockSpec((nt, TS),
+                                lambda i: (0, jnp.minimum(i + 1, nbv - 1)),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((C, nt - 1, TS),
+                            lambda i: (0, 0, jnp.minimum(i + 1, nbv - 1)),
+                            memory_space=pltpu.VMEM)
 
     NSH = [_nblk(strides[a], TS) for a in range(d)]  # neighbor count/axis
 
@@ -552,17 +593,28 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     # the shifted sum).
     def q_kernel(sc_ref, phi_ref, *rest):
         i = 0
-        pnb = []
-        for a in range(d):
-            pnb.append(rest[i:i + NSH[a]]); i += NSH[a]
-        z_ref = rest[i]; i += 1
-        beta_ref = rest[i]; i += 1
-        zbnb = []
-        for a in range(d):
-            row = []
-            for _ in range(4):  # z_lo, beta_lo, z_hi, beta_hi
-                row.append(rest[i:i + NSH[a]]); i += NSH[a]
-            zbnb.append(row)
+        if PACKED:
+            # single +1-block halo streams: phi / z / beta
+            phi_halo = rest[0]
+            z_ref, beta_ref = rest[1], rest[2]
+            z_halo, beta_halo = rest[3], rest[4]
+            i = 5
+            pnb = [[phi_halo]] * d
+            zbnb = [[[z_halo[c0]], [beta_halo[c0]],
+                     [z_halo[c0 + 2]], [beta_halo[c0 + 2]]]
+                    for c0 in (1 + 4 * a for a in range(d))]
+        else:
+            pnb = []
+            for a in range(d):
+                pnb.append(rest[i:i + NSH[a]]); i += NSH[a]
+            z_ref = rest[i]; i += 1
+            beta_ref = rest[i]; i += 1
+            zbnb = []
+            for a in range(d):
+                row = []
+                for _ in range(4):  # z_lo, beta_lo, z_hi, beta_hi
+                    row.append(rest[i:i + NSH[a]]); i += NSH[a]
+                zbnb.append(row)
         a0_ref = rest[i]; i += 1
         ab_refs = rest[i:i + d]; i += d
         dg0_ref = rest[i]; i += 1
@@ -637,20 +689,30 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     def q_step(phi, z, beta, a0, abs_, dg0, dgbs, D, sbf, tau_v):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(D).at[0, 1].set(sbf).at[0, 2].set(tau_v)
-        P = sum(NSH)
-        phi_nops = []
-        phi_nspecs = []
-        for a in range(d):
-            sp = _nbr_specs(TS, grid[0], nt, strides[a], False)
-            phi_nspecs += sp
-            phi_nops += [phi] * len(sp)
-        plane_list = []
-        for a in range(d):
-            c0 = 1 + 4 * a
-            k = strides[a]
-            plane_list += [(z, c0, k), (beta, c0, k),
-                           (z, c0 + 2, k), (beta, c0 + 2, k)]
-        pl_ops, pl_specs = _bwd_plane_nbrs(plane_list, TS, grid[0], nt - 1)
+        if PACKED:
+            shift_ops = [phi, z, beta, z, beta]
+            shift_specs = [_halo_spec("node"), cone, cone,
+                           _halo_spec("cone"), _halo_spec("cone")]
+            base = 2 + 5      # a0 operand index (sc, phi + the 5 above)
+        else:
+            P = sum(NSH)
+            phi_nops = []
+            phi_nspecs = []
+            for a in range(d):
+                sp = _nbr_specs(TS, grid[0], nt, strides[a], False)
+                phi_nspecs += sp
+                phi_nops += [phi] * len(sp)
+            plane_list = []
+            for a in range(d):
+                c0 = 1 + 4 * a
+                k = strides[a]
+                plane_list += [(z, c0, k), (beta, c0, k),
+                               (z, c0 + 2, k), (beta, c0 + 2, k)]
+            pl_ops, pl_specs = _bwd_plane_nbrs(plane_list, TS, grid[0],
+                                               nt - 1)
+            shift_ops = phi_nops + [z, beta] + pl_ops
+            shift_specs = phi_nspecs + [cone, cone] + pl_specs
+            base = 2 + P + 2 + 4 * P     # a0 operand index
         masks2d = [m.reshape(1, S) for m in masks]
         w_args = ([weight.q0] + list(weight.bs)) if weighted else []
         w_specs = ([cell] + [node] * d) if weighted else []
@@ -666,8 +728,8 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         # copy-insert (voiding the win) or corrupt state.phi in place;
         # q0' and bns[0:] have no dead same-shaped operand and stay
         # un-aliased. One buffer may back at most ONE output, even when
-        # passed as several operands.
-        base = 2 + P + 2 + 4 * P     # a0 operand index
+        # passed as several operands. Halo streams read block i+1 — ahead
+        # of every write cursor, so packed mode keeps the same guarantee.
         aliases = {} if interpret else {base: 1}
         if not interpret:
             for a in range(d):
@@ -676,14 +738,14 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             q_kernel,
             grid=grid,
             out_shape=out_shape,
-            in_specs=([scal, node] + phi_nspecs + [cone, cone] + pl_specs
+            in_specs=([scal, node] + shift_specs
                       + [cell] + [node] * d
                       + [cell] + [node] * d + [mask_spec] * d + w_specs),
             out_specs=[cell, cell] + [node] * (2 * d),
             input_output_aliases=aliases,
             interpret=interpret,
             compiler_params=_cparams,
-        )(sc, phi, *phi_nops, z, beta, *pl_ops, a0, *abs_, dg0, *dgbs,
+        )(sc, phi, *shift_ops, a0, *abs_, dg0, *dgbs,
           *masks2d, *w_args)
         q0n, a0n = outs[0], outs[1]
         bns = outs[2:2 + d]
@@ -804,16 +866,23 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     # kernel B': q-step + alpha from the carried x (one cone read)
     def qx_kernel(sc_ref, phi_ref, *rest):
         i = 0
-        pnb = []
-        for a in range(d):
-            pnb.append(rest[i:i + NSH[a]]); i += NSH[a]
-        x_ref = rest[i]; i += 1
-        xnb = []
-        for a in range(d):
-            row = []
-            for _ in range(2):  # x_lo, x_hi planes
-                row.append(rest[i:i + NSH[a]]); i += NSH[a]
-            xnb.append(row)
+        if PACKED:
+            phi_halo, x_ref, x_halo = rest[0], rest[1], rest[2]
+            i = 3
+            pnb = [[phi_halo]] * d
+            xnb = [[[x_halo[c0]], [x_halo[c0 + 2]]]
+                   for c0 in (1 + 4 * a for a in range(d))]
+        else:
+            pnb = []
+            for a in range(d):
+                pnb.append(rest[i:i + NSH[a]]); i += NSH[a]
+            x_ref = rest[i]; i += 1
+            xnb = []
+            for a in range(d):
+                row = []
+                for _ in range(2):  # x_lo, x_hi planes
+                    row.append(rest[i:i + NSH[a]]); i += NSH[a]
+                xnb.append(row)
         a0_ref = rest[i]; i += 1
         ab_refs = rest[i:i + d]; i += d
         dg0_ref = rest[i]; i += 1
@@ -868,18 +937,27 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     def qx_step(phi, x, a0, abs_, dg0, dgbs, D, sbf, tau_v):
         sc = jnp.zeros((1, 8), jnp.float32)
         sc = sc.at[0, 0].set(D).at[0, 1].set(sbf).at[0, 2].set(tau_v)
-        P = sum(NSH)
-        phi_nops, phi_nspecs = [], []
-        for a in range(d):
-            sp = _nbr_specs(TS, grid[0], nt, strides[a], False)
-            phi_nspecs += sp
-            phi_nops += [phi] * len(sp)
-        plane_list = []
-        for a in range(d):
-            c0 = 1 + 4 * a
-            k = strides[a]
-            plane_list += [(x, c0, k), (x, c0 + 2, k)]
-        pl_ops, pl_specs = _bwd_plane_nbrs(plane_list, TS, grid[0], nt - 1)
+        if PACKED:
+            shift_ops = [phi, x, x]
+            shift_specs = [_halo_spec("node"), cone, _halo_spec("cone")]
+            base = 2 + 3     # a0 operand index
+        else:
+            P = sum(NSH)
+            phi_nops, phi_nspecs = [], []
+            for a in range(d):
+                sp = _nbr_specs(TS, grid[0], nt, strides[a], False)
+                phi_nspecs += sp
+                phi_nops += [phi] * len(sp)
+            plane_list = []
+            for a in range(d):
+                c0 = 1 + 4 * a
+                k = strides[a]
+                plane_list += [(x, c0, k), (x, c0 + 2, k)]
+            pl_ops, pl_specs = _bwd_plane_nbrs(plane_list, TS, grid[0],
+                                               nt - 1)
+            shift_ops = phi_nops + [x] + pl_ops
+            shift_specs = phi_nspecs + [cone] + pl_specs
+            base = 2 + P + 1 + 2 * P     # a0 operand index
         masks2d = [m.reshape(1, S) for m in masks]
         w_args = ([weight.q0] + list(weight.bs)) if weighted else []
         w_specs = ([cell] + [node] * d) if weighted else []
@@ -890,8 +968,8 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         )
         # aliases: alpha0' <- a0, alpha_b' <- abs. phi is LIVE after this
         # call (state carry + KKT reads, core.py:282,346) — see the q_step
-        # note; q0' and bns stay un-aliased.
-        base = 2 + P + 1 + 2 * P     # a0 operand index
+        # note; q0' and bns stay un-aliased. Halo streams read block i+1,
+        # ahead of every write cursor.
         aliases = {} if interpret else {base: 1}
         if not interpret:
             for a in range(d):
@@ -900,14 +978,14 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             qx_kernel,
             grid=grid,
             out_shape=out_shape,
-            in_specs=([scal, node] + phi_nspecs + [cone] + pl_specs
+            in_specs=([scal, node] + shift_specs
                       + [cell] + [node] * d
                       + [cell] + [node] * d + [mask_spec] * d + w_specs),
             out_specs=[cell, cell] + [node] * (2 * d),
             input_output_aliases=aliases,
             interpret=interpret,
             compiler_params=_cparams,
-        )(sc, phi, *phi_nops, x, *pl_ops, a0, *abs_, dg0, *dgbs, *masks2d,
+        )(sc, phi, *shift_ops, a0, *abs_, dg0, *dgbs, *masks2d,
           *w_args)
         q0n, a0n = outs[0], outs[1]
         return q0n, list(outs[2:2 + d]), a0n, list(outs[2 + d:])
