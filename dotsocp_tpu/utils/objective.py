@@ -21,19 +21,27 @@ from typing import Sequence
 import numpy as np
 
 
-def transport_cost(rho, Es: Sequence) -> float:
+def transport_cost(rho, Es: Sequence, vacuum: float = 1e-7) -> float:
     """W2^2 estimate from a solve's recovered (rho, E) fields.
 
     ``rho``: (nt, *space) densities; ``Es``: per-axis momenta, either on
     the same time grid (``recover_RhoE`` output) or time-staggered
     (nt-1 slabs), in which case rho is averaged onto the slabs.
+
+    ``vacuum``: cells with rho below this (densities are unit-mean, so
+    it is a relative threshold) contribute nothing. In the exact optimum
+    |E|^2/rho -> 0 with rho, but the SOLVER leaves noise ~tol in E, and
+    noise^2 / rho blows up in near-vacuum cells — with the old 1e-12
+    floor an f32 tol-1e-4 solve inflated the 2D Gaussian W2^2 by ~2x
+    (round-5 measurement); 1e-7 keeps every cell that can carry real
+    transport at reachable tolerances.
     """
     rho = np.asarray(rho, np.float64)
     Es = [np.asarray(E, np.float64) for E in Es]
     if Es[0].shape[0] == rho.shape[0] - 1:
         rho = 0.5 * (rho[:-1] + rho[1:])
     num = sum(E * E for E in Es)
-    dens = np.where(rho > 1e-12, rho, np.inf)
+    dens = np.where(rho > vacuum, rho, np.inf)
     return float((num / dens).mean())
 
 
