@@ -408,22 +408,17 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
     ts = int(_os.environ.get("DOTSOCP_PALLAS_TS", ts))
     ts_cap = max(128, (1_400_000 // (4 * C * (nt - 1))) // 128 * 128)
     TS = min(ts, ts_cap, ((S + 127) // 128) * 128)
-    # Packed-halo preference (round 5): per-operand stream count is a
-    # measured cost (scripts/stream_count_probe.py: same bytes/math, 3
-    # streams 3.7 ms vs 12 streams 5.8 ms at this size), so when every
-    # spatial stride fits in one tile the backward shifts read a single
-    # +1-block HALO stream per source array instead of per-axis
-    # neighbor/plane streams (qx: 9 -> 2 streams; q: 15 -> 3). If the
-    # largest stride just exceeds TS (513 vs 512), grow TS to cover it
-    # as long as the cone block stays within the proven CA-kernel bound
-    # (~1.65 MB — the cx kernels have always run 4 such blocks).
+    # Packed-halo mode (round 5): when every spatial stride fits in one
+    # tile, the backward shifts read a single +1-block HALO stream per
+    # source array instead of per-axis neighbor/plane streams (qx: 9 -> 2
+    # shift streams; q: 15 -> 3). Measured NEUTRAL on wall time at the
+    # sizes probed (stream_count_probe's synthetic per-stream cost does
+    # not transfer — its streams shared one buffer); kept for the smaller
+    # operand lists. Growing TS to cover a just-too-big stride (513 ->
+    # 640) was tried and REJECTED: the segment is a wash (ts640_probe)
+    # and the non-CA q-kernel's 4 cone blocks then blow scoped VMEM by
+    # 1.27 MB at 513^2x65.
     max_stride = max(int(k) for k in strides)
-    ts_pref = -(-max_stride // 128) * 128
-    if (TS < max_stride <= ts_pref
-            and 4 * C * (nt - 1) * ts_pref <= 1_650_000
-            and ts_pref <= ((S + 127) // 128) * 128
-            and "DOTSOCP_PALLAS_TS" not in _os.environ):
-        TS = ts_pref
     PACKED = (max_stride <= TS
               and _os.environ.get("DOTSOCP_PALLAS_PACKED", "1") != "0")
     grid = ((S + TS - 1) // TS,)
