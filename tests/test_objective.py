@@ -71,3 +71,16 @@ def test_w2_convergence_order_1d():
         errs.append(abs(transport_cost(out["rho"], [out["Ex"]]) - ref) / ref)
     assert errs[0] > errs[1] > errs[2], errs
     assert errs[2] < errs[0] / 4.0, errs
+
+
+def test_w2_distance_api():
+    """Top-level convenience wrapper: dotsocp_tpu.w2_distance on the 1D
+    Gaussian pair matches the closed form (sqrt of the solver's
+    Benamou-Brenier energy; beyond-reference API)."""
+    import dotsocp_tpu
+
+    rho0, rho1 = get_example_1d("gaussian", 129)
+    w2 = dotsocp_tpu.w2_distance(rho0, rho1, nt=17, level_n=2,
+                                 opts={"tol": 1e-5}, dtype=jnp.float64)
+    ref = np.sqrt(gaussian_w2_squared(0.3, 0.7, 0.1, 0.05))
+    np.testing.assert_allclose(w2, ref, rtol=2e-2)
