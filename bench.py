@@ -38,10 +38,12 @@ killed by exact PID, recorded as ``<metric>_error``, and the remaining
 metrics still run. The last stdout line is therefore always the most
 complete parseable result, even if the whole process is later killed.
 
-Knobs: DOTSOCP_BENCH_SCALE=0 / DOTSOCP_BENCH_WDOT=0 skip those metrics;
-DOTSOCP_BENCH_BUDGET=<s> per-metric wall budget (default 1200);
-DOTSOCP_BENCH_DEADLINE=<s> global soft deadline (default 3000) after
-which remaining metrics are skipped rather than started.
+Knobs: DOTSOCP_BENCH_SCALE=0 / DOTSOCP_BENCH_WDOT=0 /
+DOTSOCP_BENCH_REFINE=0 / DOTSOCP_BENCH_DOT1D=0 / DOTSOCP_BENCH_ALIAS=0
+skip those metrics; DOTSOCP_BENCH_BUDGET=<s> per-metric wall budget
+(default 1200); DOTSOCP_BENCH_DEADLINE=<s> global soft deadline
+(default 4500) after which remaining metrics are skipped rather than
+started.
 
 All metrics run f32 on the device-resident driver (the production path).
 On a cold compilation cache the level executables compile concurrently up

@@ -751,8 +751,13 @@ def _solve_dot_impl(rho0, rho1, nt, level_n, opts, method, weight=None,
             # refinement round suffices at every shipped config (v5e:
             # trajectory-identical to the 2-step and plain-f64 tails at
             # 129^2x33 and 1025x33 down to 1e-6); keep the second round
-            # for tighter targets as floor margin.
-            split_opt = "ir1" if float(refine_tol) >= 1e-6 else "ir"
+            # for tighter targets as floor margin. Under a mesh the halo
+            # engine supports only the plain f64 transform (its padded
+            # matrices bypass the inner solver's split/ir strategy).
+            if opts.get("mesh") is not None:
+                split_opt = False
+            else:
+                split_opt = "ir1" if float(refine_tol) >= 1e-6 else "ir"
         if split_opt in ("ir", "ir1"):
             phases = [(split_opt, float(refine_tol))]
         elif split_opt:

@@ -339,6 +339,19 @@ class OpsHalo:
         return base + weight * weight
 
     def make_poisson(self, D, split: bool = False):
+        if split:
+            # _HaloPoisson re-implements the transform on pad-extended
+            # matrices and ignores the inner's split/ir strategy — an
+            # 'ir' build would silently hand it f32 matrices (f32-grade
+            # phi, stalled f64 tails). Refuse rather than degrade; the
+            # refine 'auto' picks plain f64 under a mesh
+            # (multilevel/solve.py).
+            raise ValueError(
+                "halo layout: fast f64 DCT modes (refine_dct_split="
+                f"{split!r}) are not supported under a mesh — use the "
+                "plain f64 tail (refine_dct_split=False) or run the "
+                "refine on the single-chip layout"
+            )
         inner = make_dct_poisson(self.geom, D=D, dtype=self.dtype,
                                  split=split)
         return _HaloPoisson(inner, self)

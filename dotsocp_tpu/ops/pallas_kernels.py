@@ -469,8 +469,12 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
             specs.append(pl.BlockSpec(blk, mp, memory_space=pltpu.VMEM))
         return specs
 
-    def _ld(ref):
-        v = ref[:]
+    def _ld(v):
+        """Normalize a ref OR a pre-loaded value: [:] loads a ref and is
+        the identity on an array (ref tracers pass isinstance(jax.Array),
+        so only slicing distinguishes them portably); cone-plane blocks
+        (1, R, TS) drop their leading axis."""
+        v = v[:]
         return v[0] if v.ndim == 3 else v
 
     def _asm(cur, nbr_vals, k, forward, TSv):
@@ -485,13 +489,7 @@ def make_fused_flat_step(geom: Geometry, strides, masks, tau: float,
         gl = gi * TSv + jax.lax.broadcasted_iota(jnp.int32, cur.shape,
                                                  cur.ndim - 1)
         zero = jnp.zeros((), cur.dtype)
-        # normalize refs AND pre-loaded values: [:] loads a ref and is the
-        # identity on an array (ref tracers pass isinstance(jax.Array), so
-        # only slicing distinguishes them portably)
-        vals = []
-        for v in nbr_vals:
-            v = v[:]
-            vals.append(v[0] if v.ndim == 3 else v)
+        vals = [_ld(v) for v in nbr_vals]
         n = len(vals)
         if forward:
             cat = jnp.concatenate(vals + [cur], axis=-1)

@@ -64,6 +64,17 @@ def _tree_where(pred, a, b):
     return jax.tree.map(sel, a, b)
 
 
+def _has_spatial_axes(mesh) -> bool:
+    """True when the mesh actually decomposes the grid: a spatial axis
+    (z/y/x/t) of size > 1. Keying on names alone would flip the layout
+    for make_mesh()'s default ('batch','y','x') even when y = x = 1 —
+    dropping the fused flat path for size-1 no-op constraints."""
+    return any(
+        a in mesh.axis_names and mesh.shape[a] > 1
+        for a in ("z", "y", "x", "t")
+    )
+
+
 class BatchedDeviceDriver:
     """Lockstep batched solve of B instances (one level)."""
 
@@ -85,9 +96,7 @@ class BatchedDeviceDriver:
         self.chunk_iters = chunk_iters
         self.mesh = mesh
         self._sh = None
-        if mesh is not None and any(
-            a in mesh.axis_names for a in ("y", "x", "t")
-        ):
+        if mesh is not None and _has_spatial_axes(mesh):
             if kernels.cfg.layout != "3d":
                 raise ValueError(
                     "combined batch x spatial sharding needs layout='3d' "
@@ -347,12 +356,11 @@ def solve_batch(rho0s, rho1s, nt: int, opts: Optional[dict] = None,
             if kernels is None:
                 from ..multilevel.solve import _resolve_pallas
 
-                # a mesh with spatial axes = combined dp x spatial
-                # decomposition (BASELINE.json scale config): needs the
-                # shaped layout so y/x constraints can bind
-                spatial_mesh = mesh is not None and any(
-                    a in mesh.axis_names for a in ("y", "x", "t")
-                )
+                # a mesh with real spatial axes (size > 1) = combined
+                # dp x spatial decomposition (BASELINE.json scale
+                # config): needs the shaped layout so y/x constraints
+                # can bind; batch-only meshes keep the fused flat path
+                spatial_mesh = mesh is not None and _has_spatial_axes(mesh)
                 layout = str(opts.get(
                     "layout", "3d" if spatial_mesh else "flat"
                 ))

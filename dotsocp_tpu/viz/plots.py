@@ -300,6 +300,9 @@ def hist_positive_value(y, title: str = "Histogram of value >= 0",
     in-repo use."""
     plt = _mpl()
     vals = np.maximum(np.asarray(y, np.float64).ravel(), 0.0)
+    total = vals.size  # the reference's 'probability' normalization
+    # divides by ALL elements — zeros become log10 = -Inf, fall outside
+    # the bins, but stay in the denominator (hist_positive_value.m)
     vals = vals[vals > 0]
     levels = np.linspace(x_left, x_right, 50)
     fig, ax = plt.subplots(figsize=(6, 4))
@@ -308,7 +311,7 @@ def hist_positive_value(y, title: str = "Histogram of value >= 0",
     if vals.size:
         logv = np.log10(vals)
         counts, edges = np.histogram(logv, bins=levels)
-        prop = counts / max(logv.size, 1)
+        prop = counts / max(total, 1)
         centers = 0.5 * (edges[:-1] + edges[1:])
         width = edges[1] - edges[0]
         ax.bar(centers, 100.0 * prop, width=width, color=color_hist)

@@ -156,3 +156,21 @@ def test_batch_spatial_requires_shaped_layout():
         solve_batch(r0, r1, nt=5,
                     opts={"tol": 1e-2, "maxit": 50, "layout": "flat"},
                     mesh=mesh, dtype=jnp.float32, verbose=False)
+
+
+def test_batch_only_mesh_with_size1_spatial_axes_keeps_flat():
+    """A mesh whose y/x axes are size 1 is batch-only: the layout stays
+    'flat' (fused path) instead of flipping to '3d' on axis NAMES alone —
+    and an explicit flat layout is accepted."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:2]).reshape(2, 1, 1)
+    mesh = Mesh(devs, axis_names=("batch", "y", "x"))
+    a, b = get_example_2d("example2", 17, 17)
+    r0 = np.stack([a, a])
+    r1 = np.stack([b, b])
+    out = solve_batch(r0, r1, nt=5,
+                      opts={"tol": 1e-2, "maxit": 200, "layout": "flat"},
+                      mesh=mesh, dtype=jnp.float32, verbose=False)
+    assert out["done"].all()

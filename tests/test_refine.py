@@ -119,3 +119,46 @@ def test_refine_ir_dct_single_phase():
     assert "IR-DCT" in h["method"]
     assert out["levels"][-1].get("refine") is True
     assert check_mass_conservation(np.asarray(out["rho"]), tol=1e-4)
+
+
+def test_refine_under_mesh_uses_plain_f64():
+    """Under a mesh the halo engine supports only the plain f64 DCT
+    ('auto' must NOT pick IR/split — their strategies are bypassed by the
+    pad-extended halo transform, which would silently hand the tail
+    f32-grade phi). The tail still converges, on the plain path."""
+    import jax
+
+    from dotsocp_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs >= 4 devices")
+    rho0, rho1 = _problem(17, seed=5)
+    mesh = make_mesh(4, axis_names=("y", "x"))
+    out, hml, h = solve_dot(
+        rho0, rho1, 5, 1,
+        {"tol": 1e-3, "maxit": 6000, "refine_tol": 1e-5, "mesh": mesh,
+         "reuse_solvers": False},
+        "inPALM", dtype=jnp.float32, verbose=False,
+    )
+    k = h["kkt"][-1]
+    assert max(k[i] for i in (0, 2, 5, 6)) < 1e-5
+    assert "IR-DCT" not in h["method"] and "split" not in h["method"]
+    assert out["mass_ok"]
+
+
+def test_refine_ir_rejected_under_mesh():
+    import pytest
+
+    from dotsocp_tpu.parallel.sharding import make_mesh
+
+    rho0, rho1 = _problem(17, seed=6)
+    mesh = make_mesh(4, axis_names=("y", "x"))
+    with pytest.raises(ValueError, match="halo layout"):
+        solve_dot(
+            rho0, rho1, 5, 1,
+            {"tol": 1e-3, "maxit": 100, "refine_tol": 1e-5, "mesh": mesh,
+             "refine_dct_split": "ir", "reuse_solvers": False},
+            "inPALM", dtype=jnp.float32, verbose=False,
+        )
